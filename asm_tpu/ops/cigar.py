@@ -1,0 +1,57 @@
+"""CIGAR handling: fixed-size device op buffers <-> host strings.
+
+Device kernels emit fixed-shape op arrays (no strings on TPU):
+  * greedy: (cigar_ops int8[B, C], cigar_runs int32[B, C], count int32[B])
+    in emission order — op codes 3 'I', 4 'D', 5 'M'
+    (cf. _update_CIGAR, GASMA/hurdle_matrix.h:238-251);
+  * NW traceback: ops int8[B, 2L] in REVERSE alignment order with codes
+    1 '=', 2 'X', 3 'I', 4 'D' (parasail-style, what parasail_cigar_decode
+    produces for the coverage metric, benchmark_utils.h:115).
+
+Host-side decoding produces the same text format the reference prints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+OP_CHARS = {1: "=", 2: "X", 3: "I", 4: "D", 5: "M"}
+
+
+def runs_to_cigar(ops: np.ndarray, runs: np.ndarray, count: int) -> str:
+    """Greedy-style (op, run) list -> CIGAR string."""
+    return "".join(
+        f"{int(runs[i])}{OP_CHARS[int(ops[i])]}" for i in range(int(count))
+    )
+
+
+def ops_to_cigar(ops: np.ndarray, reverse: bool = True) -> str:
+    """Per-column op codes (0-padded) -> run-length-encoded CIGAR string.
+
+    reverse=True for NW traceback output (emitted end-to-start).
+    """
+    ops = np.asarray(ops)
+    ops = ops[ops != 0]
+    if reverse:
+        ops = ops[::-1]
+    if ops.size == 0:
+        return ""
+    out = []
+    run_start = 0
+    for i in range(1, len(ops) + 1):
+        if i == len(ops) or ops[i] != ops[run_start]:
+            out.append(f"{i - run_start}{OP_CHARS[int(ops[run_start])]}")
+            run_start = i
+    return "".join(out)
+
+
+def batch_greedy_cigars(result: dict) -> list[str]:
+    ops = np.asarray(result["cigar_ops"])
+    runs = np.asarray(result["cigar_runs"])
+    cnt = np.asarray(result["cigar_count"])
+    return [runs_to_cigar(ops[b], runs[b], cnt[b]) for b in range(ops.shape[0])]
+
+
+def batch_nw_cigars(ops: np.ndarray) -> list[str]:
+    ops = np.asarray(ops)
+    return [ops_to_cigar(ops[b]) for b in range(ops.shape[0])]

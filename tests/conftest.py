@@ -1,0 +1,31 @@
+"""Test config: force a CPU backend with 8 virtual devices so kernels and
+multi-chip sharding are exercised without TPU hardware (the driver's bench
+runs on the real chip; tests must be hermetic and fast)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_pair(rng, length=100, error_rate=0.1, mismatch_rate=0.96):
+    """One WFA-style read/ref pair (same process as the corpus generator)."""
+    from asm_tpu.data.generator import generate_dataset
+
+    seed = int(rng.integers(0, 2**31))
+    reads, refs = generate_dataset(
+        1, length, error_rate, mismatch_rate, exact_error_rate=True, seed=seed
+    )
+    return reads[0], refs[0]
