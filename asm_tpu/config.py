@@ -64,8 +64,13 @@ class AlignConfig:
       flip_threshold: morphological denoise threshold for greedy hurdle rows
          (hurdle_matrix.h:453 uses flip_short_hurdles(1)).
       exact_floats: compute greedy's significance heuristic in float64
-         exactly like the C++ doubles (requires jax_enable_x64); float32
-         otherwise (default; can very rarely flip tie-breaks).
+         like the C++ doubles (requires jax_enable_x64 — set via
+         jax.config.update('jax_enable_x64', True); the JAX_ENABLE_X64 env
+         var is swallowed by environments that preload jax). float32
+         otherwise (default). NOTE: even float64 is not bit-identical to
+         the C++ — XLA's FMA contraction can round EXACT heuristic ties
+         differently than g++'s evaluation — so CIGARs can flip at exact
+         ties either way; penalties are integers and unaffected.
       max_steps: static bound on greedy while-loop trip count (a highway
          step always advances >= 1 column, so max_len is always safe).
       max_cigar_ops: fixed CIGAR buffer length (2 ops per greedy step).

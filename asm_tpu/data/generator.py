@@ -67,6 +67,90 @@ def generate_dataset(
     return patterns, texts
 
 
+def generate_dataset_arrays(
+    num_reads: int,
+    length: int,
+    error_rate: float,
+    mismatch_rate: float = 0.96,
+    exact_error_rate: bool = True,
+    seed: int = 0,
+    max_len: int = 128,
+    pad_read: int = 4,
+    pad_ref: int = 5,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized generator emitting encoded arrays directly.
+
+    Same error process as `generate_dataset` (sequential errors on the
+    evolving text, benchmark_dataset.h:113-186) but applied to the whole
+    batch at once — each error step is a batched gather/scatter over
+    [N, L] arrays instead of a per-pair Python loop, which is what makes
+    multi-million-pair corpora practical. RNG draw ORDER differs from the
+    scalar version (per-step-across-pairs vs per-pair), so the two are
+    distributionally, not bitwise, identical.
+
+    Returns (read_codes int8[N, max_len], read_len int32[N],
+             ref_codes int8[N, max_len], ref_len int32[N]) with the
+    framework's sentinel padding (encoding.PAD_READ / PAD_REF).
+    """
+    if not 0 <= error_rate <= 0.7:
+        raise ValueError(f"error rate {error_rate} out of [0, 0.7]")
+    if not 0 <= mismatch_rate <= 1:
+        raise ValueError(f"mismatch rate {mismatch_rate} out of [0, 1]")
+    rng = np.random.default_rng(seed)
+    N = num_reads
+    max_errors = math.ceil(length * error_rate)
+    W = length + max_errors  # worst-case text length (all insertions)
+
+    pattern = rng.integers(0, 4, size=(N, length), dtype=np.int8)
+    text = np.full((N, W), 0, dtype=np.int8)
+    text[:, :length] = pattern
+    tlen = np.full(N, length, dtype=np.int32)
+
+    if exact_error_rate:
+        nerr = np.full(N, max_errors, dtype=np.int32)
+    else:
+        nerr = rng.integers(0, max_errors + 1, size=N).astype(np.int32)
+
+    cols = np.arange(W, dtype=np.int32)[None, :]  # [1, W]
+    for step in range(max_errors):
+        live = step < nerr  # pairs still receiving errors
+        r = rng.random(N)
+        is_mis = r <= mismatch_rate
+        is_del = (~is_mis) & (rng.integers(1, 3, size=N) == 1)
+        is_ins = (~is_mis) & (~is_del)
+        pos = (rng.random(N) * tlen).astype(np.int32)  # uniform in [0, tlen)
+        base = rng.integers(0, 4, size=N, dtype=np.int8)
+
+        # gather index per row: deletion shifts the tail left, insertion
+        # shifts it right; mismatch rows gather identity then scatter `base`.
+        posc = pos[:, None]
+        gather = np.where(
+            (is_del & live)[:, None],
+            cols + (cols >= posc),
+            np.where((is_ins & live)[:, None], cols - (cols > posc), cols),
+        )
+        np.clip(gather, 0, W - 1, out=gather)
+        text = np.take_along_axis(text, gather, axis=1)
+        put = live & (is_mis | is_ins)
+        rows = np.nonzero(put)[0]
+        text[rows, pos[rows]] = base[rows]
+        tlen = tlen + live * (is_ins.astype(np.int32) - is_del.astype(np.int32))
+
+    read_codes = np.full((N, max_len), pad_read, dtype=np.int8)
+    m = min(length, max_len)
+    read_codes[:, :m] = pattern[:, :m]
+    read_len = np.full(N, m, dtype=np.int32)
+
+    ref_codes = np.full((N, max_len), pad_ref, dtype=np.int8)
+    w = min(W, max_len)
+    ref_codes[:, :w] = text[:, :w]
+    # positions past each text's true length must stay sentinel
+    mask = np.arange(max_len)[None, :] >= np.minimum(tlen, max_len)[:, None]
+    ref_codes[mask] = pad_ref
+    ref_len = np.minimum(tlen, max_len).astype(np.int32)
+    return read_codes, read_len, ref_codes, ref_len
+
+
 def dataset_filename(
     num_reads: int, length: int, error_rate: float, exact: bool = True
 ) -> str:

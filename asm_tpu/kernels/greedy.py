@@ -9,29 +9,34 @@ jax.lax.while_loop:
 
   * setup (once per batch): hurdle rows [B, NL, L] by shifted compare
     (ops.hurdles.build_greedy_lanes == _construct_hurdles,
-    hurdle_matrix.h:441-455), morphological denoise (flip_short_hurdles(1),
-    hurdle_matrix.h:453), then THREE scan structures that turn every
-    per-step bit query into an O(1) gather:
-       next_zero/next_one over the denoised rows  (all first_zero/first_one)
-       prefix popcount over the raw rows          (all pop_count_between)
-  * per step: every lane of every pair is scored in one vectorized pass
-    ([B, NL] arithmetic); the reference's sequential lane scans
-    (_update_highway_list:325-352, _choose_best_highway:382-399) are
-    order-dependent, so their running arg-max/min are replayed as a STATIC
-    unrolled loop over the NL lanes (vectorized over the batch) with exactly
-    the reference's tie-breaking;
+    hurdle_matrix.h:441-455) and morphological denoise
+    (flip_short_hurdles(1), hurdle_matrix.h:453);
+  * per step: every bit query the reference answers with tzcnt/popcount
+    (first_zero / first_one / pop_count_between) is a MASKED REDUCTION over
+    the int8 lane rows — min-index / sum over the L axis with iota bounds
+    masks, fused by XLA into single VPU passes over [B, NL, L].
+    (A previous design precomputed next-index/prefix-count tables and
+    gathered into them per step; TPU lowers big take_along_axis gathers
+    ~50x slower than streaming reductions, so reductions win despite
+    touching the whole row.)
+  * the reference's sequential lane scans (_update_highway_list:325-352,
+    _choose_best_highway:368-401) are order-dependent, so their running
+    arg-max/min are replayed as a STATIC unrolled loop over the NL lanes
+    (vectorized over the batch) with exactly the reference's tie-breaking;
   * pairs finish at different steps: a done-mask freezes finished pairs
-    while the while_loop runs until all pairs converge (a highway step
-    always advances >= 1 column, so at most L iterations).
+    while the while_loop runs until all pairs converge (err=.05 corpora
+    converge in <= ~8 steps; bound cfg.steps_bound is the hard stop).
 
 Semantics are bit-faithful to the scalar emulator
 asm_tpu.reference_impl.greedy_ref (see its docstring for the reference
 quirks deliberately reproduced, and the one documented deviation:
 deterministic sentinel padding past string ends).
 
-CIGAR is emitted on the fly into a fixed [B, C] (op, run) buffer — the
-reference appends to a std::string per step (_update_CIGAR,
-hurdle_matrix.h:238-251); op codes: 1 '=', 2 'X', 3 'I', 4 'D', 5 'M'.
+CIGAR: each iteration writes its <= 2 ops into FIXED slots [2*it, 2*it+1]
+of a [B, C] (op, run) buffer via dynamic_update_slice (scatter-free; rows
+that do not move write run=0, skipped at decode). The reference appends to
+a std::string per step (_update_CIGAR, hurdle_matrix.h:238-251); op codes:
+1 '=', 2 'X', 3 'I', 4 'D', 5 'M'.
 """
 
 from __future__ import annotations
@@ -42,14 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from asm_tpu.config import AlignConfig, AlignmentType
-from asm_tpu.ops.bitops import (
-    flip_short_hurdles,
-    next_one_index,
-    next_zero_index,
-    prefix_count,
-    count_between,
-    gather_last,
-)
+from asm_tpu.ops.bitops import flip_short_hurdles
 from asm_tpu.ops.hurdles import (
     build_greedy_lanes,
     lane_destination,
@@ -61,24 +59,7 @@ OP_M = 5  # greedy emits merged match-or-mismatch runs ('M')
 OP_I = 3
 OP_D = 4
 
-_NEG_INF32 = jnp.int32(-(2**31) + 1)
-
-
-def _emit(ops, runs, cnt, op_val, run_val, mask):
-    """Append (op, run) at position cnt for rows where mask; bump cnt."""
-    B, C = ops.shape
-    rows = jnp.arange(B, dtype=jnp.int32)
-    pos = jnp.minimum(cnt, C - 1)
-    old_op = ops[rows, pos]
-    old_run = runs[rows, pos]
-    ops = ops.at[rows, pos].set(
-        jnp.where(mask, op_val, old_op).astype(ops.dtype)
-    )
-    runs = runs.at[rows, pos].set(
-        jnp.where(mask, run_val, old_run).astype(runs.dtype)
-    )
-    cnt = cnt + mask.astype(jnp.int32)
-    return ops, runs, cnt
+_NEG_INF32 = -(2**31) + 1  # plain int: import must not init the backend
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -92,8 +73,9 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
 
     Returns dict with:
       cost: int32[B] total penalty (hurdle_matrix.h get_cost :677)
-      cigar_ops / cigar_runs: int8/int32 [B, C] (op codes above)
-      cigar_count: int32[B]
+      cigar_ops / cigar_runs: int8/int32 [B, C] fixed-slot buffers
+        (slots with run == 0 are empty; decode skips them)
+      cigar_count: int32[B] number of non-empty slots
       steps: int32[B] number of highway steps taken
     """
     B, L = read_codes.shape
@@ -109,12 +91,26 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
 
     lanes_idx = jnp.arange(-k, k + 1, dtype=jnp.int32)  # [NL]
 
-    # --- setup: hurdle rows + scan structures (hurdle_matrix.h:441-455) ---
-    orig = build_greedy_lanes(read_codes, ref_codes, k)  # [B, NL, L]
-    den = flip_short_hurdles(orig, cfg.flip_threshold)
-    nz = next_zero_index(den)  # [B, NL, L+1]
-    no = next_one_index(den)
-    cum = prefix_count(orig)  # [B, NL, L+1]
+    # --- setup: hurdle rows (hurdle_matrix.h:441-455) ---
+    orig = build_greedy_lanes(read_codes, ref_codes, k) != 0  # bool[B, NL, L]
+    den = flip_short_hurdles(orig.astype(jnp.int8), cfg.flip_threshold) != 0
+    den_zero = ~den  # highway positions
+
+    pos3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)  # [1,1,L]
+
+    def first_index(rows_bool, from_col):
+        """min p >= from_col with rows_bool[p], else L — every first_zero /
+        first_one tzcnt query (GASMA/utils.h:168-191) as one fused masked
+        min-reduction over the L axis."""
+        cand = jnp.where(rows_bool & (pos3 >= from_col[..., None]), pos3, L)
+        return jnp.min(cand, axis=-1)
+
+    def count_range(rows_bool, lo, hi):
+        """popcount of rows_bool in [lo, hi) — pop_count_between
+        (GASMA/utils.h:263-270) as one fused masked sum; out-of-range or
+        inverted windows count 0 exactly like the reference's clamp."""
+        mask = (pos3 >= lo[..., None]) & (pos3 < hi[..., None])
+        return jnp.sum(rows_bool & mask, axis=-1, dtype=jnp.int32)
 
     dest = lane_destination(m[:, None], n[:, None], lanes_idx[None, :])  # [B, NL]
     dest_lane = n - m  # [B]
@@ -133,13 +129,21 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         nsw=jnp.full((B, NL), L, jnp.int32),
         cigar_ops=jnp.zeros((B, C), jnp.int8),
         cigar_runs=jnp.zeros((B, C), jnp.int32),
-        cigar_cnt=jnp.zeros((B,), jnp.int32),
         steps=jnp.zeros((B,), jnp.int32),
         it=jnp.int32(0),
     )
 
     def cond(s):
         return (s["it"] < cfg.steps_bound) & jnp.any(~s["done"])
+
+    def take_lane(arr, li):
+        """arr[b, li[b], :] without a gather: one-hot over the tiny NL axis."""
+        onehot = lanes_onehot(li)  # [B, NL, 1]
+        return jnp.sum(jnp.where(onehot, arr, 0), axis=1)
+
+    def lanes_onehot(li):
+        ids = jnp.arange(NL, dtype=jnp.int32)[None, :, None]
+        return ids == li[:, None, None]
 
     def body(s):
         act = ~s["done"]  # [B]
@@ -153,10 +157,9 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         )  # [B, NL]
         recomp = (sp < start_col) & act[:, None]
 
-        sc_c = jnp.minimum(start_col, L)
-        nz_g = gather_last(nz, sc_c)  # first zero >= start_col (denoised)
-        sp_new = jnp.where(start_col > L, start_col, nz_g)
-        no_g = gather_last(no, jnp.minimum(sp_new, L))
+        fz = first_index(den_zero, start_col)
+        sp_new = jnp.where(start_col > L, start_col, fz)
+        no_g = first_index(den, sp_new)
         # register-width semantics: empty scan returns L (utils.h:168-182)
         raw_len = jnp.where((sp_new >= L) | (no_g >= L), L, no_g - sp_new)
         clamp = sp_new + raw_len > dest
@@ -178,7 +181,7 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
                 0,
                 switch_lane_penalty(cur_lane[:, None], lanes_idx[None, :], o, e),
             )
-        nhur = count_between(cum, start_col, sp + hlen)  # [B, NL]
+        nhur = count_range(orig, start_col, sp + hlen)  # [B, NL]
         hc = x * nhur
 
         # selection scan (hurdle_matrix.h:325-352) — static unroll over lanes
@@ -216,31 +219,38 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         sp_b = jnp.take_along_axis(sp, best_li[:, None], 1)[:, 0]
         swc_b = jnp.take_along_axis(swc, best_li[:, None], 1)[:, 0]
         hc_b = jnp.take_along_axis(hc, best_li[:, None], 1)[:, 0]
-        cum_b = jnp.take_along_axis(
-            cum, best_li[:, None, None], 1
-        )[:, 0, :]  # [B, L+1] prefix counts of the best lane's raw row
+        row_b = take_lane(orig, best_li)[:, None, :]  # [B, 1, L] best lane row
+
+        # vectorized per-lane costs (one masked reduction each), then the
+        # reference's order-dependent running-minimum replayed over NL
+        ep = sp + hlen  # [B, NL]
+        cs_i = cur_col[:, None] + switch_forward_column(
+            cur_lane[:, None], lanes_idx[None, :]
+        )
+        # NOTE: the reference adds the RAW popcount here, not x * popcount
+        # (hurdle_matrix.h:389 intermediate_cost) — unlike hurdle_cost above
+        ic_all = swc + count_range(orig, cs_i, ep)  # [B, NL]
+        fwd_lb = switch_forward_column(lanes_idx[None, :], best_lane_v[:, None])
+        cross = count_range(
+            jnp.broadcast_to(row_b, (B, NL, L)), fwd_lb + ep, sp_b[:, None]
+        )
+        tc_all = (
+            ic_all
+            + switch_lane_penalty(lanes_idx[None, :], best_lane_v[:, None], o, e)
+            + jnp.maximum(0, x * cross)
+        )
+        skip_all = (
+            (jnp.arange(NL, dtype=jnp.int32)[None, :] == best_li[:, None])
+            | (sp + fwd_lb > sp_b[:, None])
+        )
 
         stc = swc_b + hc_b
         sic = stc
         bil = best_li
         for li in range(NL):
-            lane_v = li - k
-            fwd_lb = switch_forward_column(jnp.int32(lane_v), best_lane_v)
-            skip = (li == best_li) | (sp[:, li] + fwd_lb > sp_b)
-            ep = sp[:, li] + hlen[:, li]
-            ic = swc[:, li] + count_between(
-                cum[:, li, :],
-                cur_col + switch_forward_column(cur_lane, jnp.int32(lane_v)),
-                ep,
-            )
-            tc = (
-                ic
-                + switch_lane_penalty(jnp.int32(lane_v), best_lane_v, o, e)
-                + jnp.maximum(
-                    0, x * count_between(cum_b, fwd_lb + ep, sp_b)
-                )
-            )
-            upd = ~skip & (tc <= stc) & (ic <= sic)
+            tc = tc_all[:, li]
+            ic = ic_all[:, li]
+            upd = ~skip_all[:, li] & (tc <= stc) & (ic <= sic)
             stc = jnp.where(upd, tc, stc)
             sic = jnp.where(upd, ic, sic)
             bil = jnp.where(upd, li, bil)
@@ -258,19 +268,22 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
             cur_col + switch_forward_column(cur_lane, bl_lane)
         )
 
-        # CIGAR: leap (I/D) then merged run (M) — hurdle_matrix.h:238-251
+        # CIGAR: leap (I/D) then merged run (M) into slots [2*it, 2*it+1]
+        # (fixed per iteration -> dynamic_update_slice, no scatter)
         dl = bl_lane - cur_lane
         op_leap = jnp.where(dl < 0, OP_I, OP_D).astype(jnp.int8)
-        ops_, runs_, cnt_ = _emit(
-            s["cigar_ops"],
-            s["cigar_runs"],
-            s["cigar_cnt"],
-            op_leap,
-            jnp.abs(dl),
-            move & (dl != 0),
+        leap_run = jnp.where(move & (dl != 0), jnp.abs(dl), 0)
+        m_run = jnp.where(move & (distance > 0), distance, 0)
+        slot = 2 * s["it"]
+        ops_blk = jnp.stack(
+            [op_leap, jnp.full((B,), OP_M, jnp.int8)], axis=1
         )
-        ops_, runs_, cnt_ = _emit(
-            ops_, runs_, cnt_, jnp.int8(OP_M), distance, move & (distance > 0)
+        runs_blk = jnp.stack([leap_run, m_run], axis=1)
+        ops_ = jax.lax.dynamic_update_slice(
+            s["cigar_ops"], ops_blk, (jnp.int32(0), slot)
+        )
+        runs_ = jax.lax.dynamic_update_slice(
+            s["cigar_runs"], runs_blk, (jnp.int32(0), slot)
         )
 
         new_lane = jnp.where(move, bl_lane, cur_lane)
@@ -288,7 +301,6 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
             nsw=nsw,
             cigar_ops=ops_,
             cigar_runs=runs_,
-            cigar_cnt=cnt_,
             steps=s["steps"] + move.astype(jnp.int32),
             it=s["it"] + 1,
         )
@@ -299,10 +311,13 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     cur_lane, cur_col = s["cur_lane"], s["cur_col"]
     dl_c = jnp.clip(dest_lane, -k, k)
     dest_col = jnp.take_along_axis(dest, (dl_c + k)[:, None], 1)[:, 0]
-    cum_dl = jnp.take_along_axis(cum, (dl_c + k)[:, None, None], 1)[:, 0, :]
-    distance = count_between(
-        cum_dl, cur_col + switch_forward_column(cur_lane, dest_lane), dest_col
+    row_dl = take_lane(orig, dl_c + k)  # [B, L] destination-lane row
+    lo = cur_col + switch_forward_column(cur_lane, dest_lane)
+    mask = (
+        (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) >= lo[:, None])
+        & (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) < dest_col[:, None])
     )
+    distance = jnp.sum(row_dl & mask, axis=-1, dtype=jnp.int32)
     distance = jnp.where(in_band, distance, 0)  # out-of-band: stale dest <= 0
     needs = jnp.where(
         in_band,
@@ -314,22 +329,23 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
 
     dl = dest_lane - cur_lane
     op_leap = jnp.where(dl < 0, OP_I, OP_D).astype(jnp.int8)
-    ops_, runs_, cnt_ = _emit(
-        s["cigar_ops"],
-        s["cigar_runs"],
-        s["cigar_cnt"],
-        op_leap,
-        jnp.abs(dl),
-        needs & (dl != 0),
-    )
-    ops_, runs_, cnt_ = _emit(
-        ops_, runs_, cnt_, jnp.int8(OP_M), distance, needs & (distance > 0)
-    )
+    leap_run = jnp.where(needs & (dl != 0), jnp.abs(dl), 0)
+    m_run = jnp.where(needs & (distance > 0), distance, 0)
+    slot = 2 * s["it"]
+    ops_blk = jnp.stack([op_leap, jnp.full((B,), OP_M, jnp.int8)], axis=1)
+    runs_blk = jnp.stack([leap_run, m_run], axis=1)
+    ops_ = jax.lax.dynamic_update_slice(
+            s["cigar_ops"], ops_blk, (jnp.int32(0), slot)
+        )
+    runs_ = jax.lax.dynamic_update_slice(s["cigar_runs"], runs_blk, (jnp.int32(0), slot))
 
     return dict(
         cost=cost,
         cigar_ops=ops_,
         cigar_runs=runs_,
-        cigar_count=cnt_,
+        cigar_count=jnp.sum(runs_ > 0, axis=1, dtype=jnp.int32),
         steps=s["steps"],
+        # cursor state at loop exit (before the final leap) — debug aid
+        final_lane=cur_lane,
+        final_col=cur_col,
     )

@@ -34,8 +34,9 @@ from asm_tpu.config import AlignConfig, LeapMode
 from asm_tpu.ops.bitops import next_one_index, gather_last
 from asm_tpu.ops.hurdles import build_leap_lanes
 
-UNREACHED = jnp.int32(-2)
-BIG = jnp.int32(1 << 29)
+# plain ints (not jnp scalars): module import must not initialize the backend
+UNREACHED = -2
+BIG = 1 << 29
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -27,7 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-INF = jnp.int32(1 << 29)
+# plain int (not jnp scalar): module import must not initialize the backend
+INF = 1 << 29
 
 # traceback op codes (host-side RLE turns these into CIGAR strings)
 OP_NONE = 0

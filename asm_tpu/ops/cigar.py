@@ -18,10 +18,18 @@ import numpy as np
 OP_CHARS = {1: "=", 2: "X", 3: "I", 4: "D", 5: "M"}
 
 
-def runs_to_cigar(ops: np.ndarray, runs: np.ndarray, count: int) -> str:
-    """Greedy-style (op, run) list -> CIGAR string."""
+def runs_to_cigar(ops: np.ndarray, runs: np.ndarray, count: int | None = None) -> str:
+    """Greedy-style (op, run) slot buffer -> CIGAR string.
+
+    Slots with run == 0 are empty (the kernel writes fixed slots per step;
+    frozen rows write zero runs) and are skipped — matching the reference's
+    append-only string (_update_CIGAR emits nothing for zero runs).
+    """
+    n = len(ops) if count is None else int(count)
     return "".join(
-        f"{int(runs[i])}{OP_CHARS[int(ops[i])]}" for i in range(int(count))
+        f"{int(runs[i])}{OP_CHARS[int(ops[i])]}"
+        for i in range(n)
+        if runs[i] > 0
     )
 
 
@@ -48,8 +56,7 @@ def ops_to_cigar(ops: np.ndarray, reverse: bool = True) -> str:
 def batch_greedy_cigars(result: dict) -> list[str]:
     ops = np.asarray(result["cigar_ops"])
     runs = np.asarray(result["cigar_runs"])
-    cnt = np.asarray(result["cigar_count"])
-    return [runs_to_cigar(ops[b], runs[b], cnt[b]) for b in range(ops.shape[0])]
+    return [runs_to_cigar(ops[b], runs[b]) for b in range(ops.shape[0])]
 
 
 def batch_nw_cigars(ops: np.ndarray) -> list[str]:

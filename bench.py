@@ -1,0 +1,107 @@
+"""Headline benchmark: greedy hurdle-matrix alignment throughput.
+
+Replicates the reference's flagship measurement — 1M simulated ~100 bp
+read/ref pairs at error rate 0.05, penalties x=1,o=1,e=1, band k=3
+(GASMA/benchmark/benchmark.cpp:14-26) — on TPU, and reports alignments/s
+against the reference's published 0.85 s / 1M pairs = 1.176M aligns/s on
+one CPU core (README.md:14, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "greedy_alignments_per_sec", "value": N, "unit": "aligns/s",
+   "vs_baseline": N}
+
+Corpus generation and host<->device staging are outside the timed region,
+matching the reference's accounting (benchmark_utils.h:185-201 times only
+reset+run around the greedy kernel; the corpus file is read beforehand).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asm_tpu.config import AlignConfig
+from asm_tpu.data.generator import generate_dataset_arrays
+from asm_tpu.parallel import make_mesh, shard_batch
+from asm_tpu.parallel.runner import make_sharded_greedy
+
+# reference: 1M pairs in 0.85 s single-core (README.md:14)
+BASELINE_ALIGNS_PER_SEC = 1_000_000 / 0.85
+
+
+def main():
+    n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 20))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
+    err = float(os.environ.get("BENCH_ERR", 0.05))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128)
+
+    n_pairs = max(chunk, (n_pairs // chunk) * chunk)
+    t0 = time.perf_counter()
+    rc, rl, fc, fl = generate_dataset_arrays(
+        n_pairs, 100, err, mismatch_rate=0.96, seed=42, max_len=cfg.max_len
+    )
+    print(
+        f"corpus: {n_pairs} pairs err={err} "
+        f"({time.perf_counter() - t0:.1f}s)",
+        file=sys.stderr,
+    )
+
+    mesh = make_mesh()
+    step = make_sharded_greedy(mesh, cfg)
+
+    # stage chunks on device (outside the timed region)
+    chunks = []
+    for i in range(0, n_pairs, chunk):
+        sl = slice(i, i + chunk)
+        chunks.append(shard_batch(mesh, rc[sl], rl[sl], fc[sl], fl[sl]))
+
+    def force(out):
+        """Force completion and return a tiny checksum.
+
+        NOTE deliberately NOT jax.block_until_ready: on the axon-tunnel
+        backend block_until_ready returns before the computation finishes,
+        which would make the timings fiction. Pulling a reduced scalar to
+        host is a true execution barrier on every backend.
+        """
+        return int(np.asarray(jnp.sum(out["cost"], dtype=jnp.int64)))
+
+    # warmup / compile (first execution can carry one-time backend cost)
+    t0 = time.perf_counter()
+    for c in chunks:
+        force(step(*c))
+    print(f"compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    best = float("inf")
+    checksum = None
+    for r in range(reps):
+        t0 = time.perf_counter()
+        # dispatch every chunk first (device queues them back-to-back),
+        # then drain the checksums — the last drain is the barrier.
+        outs = [step(*c) for c in chunks]
+        sums = [force(o) for o in outs]
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        checksum = sum(sums)
+        print(f"rep {r}: {dt:.3f}s  {n_pairs / dt / 1e6:.2f}M aligns/s",
+              file=sys.stderr)
+    print(f"total-cost checksum: {checksum}", file=sys.stderr)
+    assert checksum is not None and checksum > 0
+
+    aligns_per_sec = n_pairs / best
+    print(json.dumps({
+        "metric": "greedy_alignments_per_sec",
+        "value": round(aligns_per_sec, 1),
+        "unit": "aligns/s",
+        "vs_baseline": round(aligns_per_sec / BASELINE_ALIGNS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

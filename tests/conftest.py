@@ -4,7 +4,11 @@ runs on the real chip; tests must be hermetic and fast)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: hard-set, not setdefault — the environment's sitecustomize
+# (PYTHONPATH=/root/.axon_site) re-exports JAX_PLATFORMS=axon inside every
+# interpreter, which would silently put the test suite on the real chip.
+if os.environ.get("ASM_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

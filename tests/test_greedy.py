@@ -1,0 +1,99 @@
+"""Greedy kernel conformance: batched TPU kernel vs the scalar emulator
+(asm_tpu.reference_impl.greedy_ref, itself a step-by-step mirror of
+GASMA/hurdle_matrix.h)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from asm_tpu.config import AlignConfig, AlignmentType
+from asm_tpu.encoding import encode_batch
+from asm_tpu.kernels.greedy import greedy_align
+from asm_tpu.ops.cigar import batch_greedy_cigars
+from asm_tpu.reference_impl.greedy_ref import greedy_ref
+from asm_tpu.data.generator import generate_dataset
+
+
+def _run_batch(reads, refs, cfg):
+    rc, rl, fc, fl = encode_batch(reads, refs, cfg.max_len)
+    out = greedy_align(
+        jnp.asarray(rc), jnp.asarray(rl), jnp.asarray(fc), jnp.asarray(fl), cfg
+    )
+    return np.asarray(out["cost"]), batch_greedy_cigars(out), out
+
+
+@pytest.mark.parametrize("err", [0.05, 0.10, 0.20])
+def test_greedy_matches_scalar_ref(err):
+    cfg = AlignConfig(x=1, o=1, e=1, k=3)
+    reads, refs = generate_dataset(48, 100, err, 0.96, seed=int(err * 1000))
+    cost, cigars, _ = _run_batch(reads, refs, cfg)
+    for i in range(len(reads)):
+        exp_cost, exp_cigar = greedy_ref(reads[i], refs[i], k=3)
+        assert cost[i] == exp_cost, f"pair {i} (err={err})"
+        assert cigars[i] == exp_cigar, f"pair {i} (err={err})"
+
+
+def test_greedy_matches_ref_other_penalties():
+    cfg = AlignConfig(x=2, o=3, e=1, k=2)
+    reads, refs = generate_dataset(32, 80, 0.1, 0.8, seed=5)
+    cost, cigars, _ = _run_batch(reads, refs, cfg)
+    for i in range(len(reads)):
+        exp_cost, exp_cigar = greedy_ref(
+            reads[i], refs[i], k=2, x=2, o=3, e=1
+        )
+        assert cost[i] == exp_cost, f"pair {i}"
+        assert cigars[i] == exp_cigar, f"pair {i}"
+
+
+def test_greedy_semiglobal():
+    cfg = AlignConfig(k=3, alignment_type=AlignmentType.SEMI_GLOBAL)
+    reads, refs = generate_dataset(24, 60, 0.15, 0.9, seed=9)
+    cost, cigars, _ = _run_batch(reads, refs, cfg)
+    for i in range(len(reads)):
+        exp_cost, exp_cigar = greedy_ref(
+            reads[i], refs[i], k=3,
+            alignment_type=AlignmentType.SEMI_GLOBAL,
+        )
+        assert cost[i] == exp_cost, f"pair {i}"
+        assert cigars[i] == exp_cigar, f"pair {i}"
+
+
+def test_greedy_length_mismatch_out_of_band():
+    """Pairs whose length difference exceeds the band exercise the
+    out-of-band destination-lane path (stale destination in the ref)."""
+    cfg = AlignConfig(k=2)
+    reads = ["ACGTACGTACGTACGTACGT", "ACGT" * 10]
+    refs = ["ACGTACGTAC", "ACGT" * 5]
+    cost, cigars, _ = _run_batch(reads, refs, cfg)
+    for i in range(len(reads)):
+        exp_cost, exp_cigar = greedy_ref(reads[i], refs[i], k=2)
+        assert cost[i] == exp_cost, f"pair {i}"
+        assert cigars[i] == exp_cigar, f"pair {i}"
+
+
+def test_greedy_indel_heavy_cost_conformance():
+    """Indel-heavy corpus (40% errors, half indels) stresses out-of-band
+    destinations and highway tie-breaks. Costs must match the emulator
+    exactly; CIGARs may rarely flip at EXACT heuristic ties (the C++
+    double evaluation of tied significances is FMA/compiler-dependent —
+    see greedy.py docstring), so only near-total agreement is asserted."""
+    cfg = AlignConfig(k=3)
+    reads, refs = generate_dataset(64, 100, 0.4, 0.5, seed=7)
+    cost, cigars, _ = _run_batch(reads, refs, cfg)
+    cigar_miss = 0
+    for i in range(len(reads)):
+        exp_cost, exp_cigar = greedy_ref(reads[i], refs[i], k=3)
+        assert cost[i] == exp_cost, f"pair {i}"
+        cigar_miss += cigars[i] != exp_cigar
+    assert cigar_miss <= 3, f"{cigar_miss} CIGAR tie-flips (expected <= 3)"
+
+
+def test_greedy_identical_and_trivial():
+    cfg = AlignConfig(k=3)
+    reads = ["ACGTACGTAC", "A", "ACGT"]
+    refs = ["ACGTACGTAC", "A", "TGCA"]
+    cost, cigars, _ = _run_batch(reads, refs, cfg)
+    for i in range(len(reads)):
+        exp_cost, exp_cigar = greedy_ref(reads[i], refs[i], k=3)
+        assert cost[i] == exp_cost, f"pair {i} ({reads[i]} vs {refs[i]})"
+        assert cigars[i] == exp_cigar, f"pair {i}"
