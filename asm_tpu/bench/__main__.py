@@ -1,0 +1,75 @@
+"""CLI driver mirroring GASMA/benchmark/benchmark.cpp.
+
+  python -m asm_tpu.bench                       # reference config sweep
+  python -m asm_tpu.bench --pairs 100000 --err 0.05
+  python -m asm_tpu.bench --file pairs.seq      # ">read\\n<ref\\n" file
+
+The reference driver (benchmark.cpp:12-33) generates 5M-pair corpora at
+err in {.05,.10,.15,.20}, caps at 1M alignments, penalties x=1,o=1,e=1,
+band k=3.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from asm_tpu.bench.harness import run_benchmark, format_report
+from asm_tpu.config import AlignConfig
+from asm_tpu.data.generator import generate_dataset_arrays
+from asm_tpu.data.io import read_pair_file
+from asm_tpu.encoding import encode_batch
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pairs", type=int, default=1_000_000)
+    p.add_argument("--err", type=float, action="append", default=None,
+                   help="error rate(s); default: 0.05 0.10 0.15 0.20")
+    p.add_argument("--length", type=int, default=100)
+    p.add_argument("--mismatch-rate", type=float, default=0.96)
+    p.add_argument("--file", type=str, default=None,
+                   help="read pairs from a '>read/<ref' file instead")
+    p.add_argument("--x", type=int, default=1)
+    p.add_argument("--o", type=int, default=1)
+    p.add_argument("--e", type=int, default=1)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--max-len", type=int, default=128)
+    p.add_argument("--chunk", type=int, default=1 << 17)
+    p.add_argument("--coverage-sample", type=int, default=20000)
+    p.add_argument("--no-coverage", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    cfg = AlignConfig(
+        x=args.x, o=args.o, e=args.e, k=args.k, max_len=args.max_len
+    )
+
+    if args.file:
+        reads, refs = read_pair_file(args.file, max_tests=args.pairs)
+        corpora = [(f"file:{args.file}", encode_batch(reads, refs, cfg.max_len))]
+    else:
+        errs = args.err or [0.05, 0.10, 0.15, 0.20]
+        corpora = [
+            (
+                f"simulated err={e_:.2f}",
+                generate_dataset_arrays(
+                    args.pairs, args.length, e_, args.mismatch_rate,
+                    seed=args.seed, max_len=cfg.max_len,
+                ),
+            )
+            for e_ in errs
+        ]
+
+    for name, (rc, rl, fc, fl) in corpora:
+        print(f"--- {name}: {rc.shape[0]} pairs ---")
+        r = run_benchmark(
+            rc, rl, fc, fl, cfg,
+            chunk=args.chunk,
+            coverage_sample=0 if args.no_coverage else args.coverage_sample,
+            want_coverage=not args.no_coverage,
+        )
+        print(format_report(r))
+
+
+if __name__ == "__main__":
+    main()

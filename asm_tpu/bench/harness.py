@@ -1,0 +1,206 @@
+"""Three-way benchmark harness: NW oracle vs LEAP vs Greedy.
+
+Mirrors the reference's `benchmark` class (GASMA/benchmark/
+benchmark_utils.h:28-417) as batched TPU pipelines:
+
+  * the 1M-iteration per-pair loop (:373-385) -> chunked batched kernel
+    launches (chunk size amortizes compile + keeps HBM bounded);
+  * per-algorithm `times()` accounting (:84-89) -> wall-clock around each
+    chunked kernel pass, with a forced device sync per chunk;
+  * accuracy = penalty equals the NW optimum (:249-255);
+  * coverage = greedy CIGAR covers the NW CIGAR's long consecutive
+    matches with thresholds (1, 3) (:256-258, benchmark_coverage.h) —
+    computed host-side from the decoded CIGARs on up to
+    `coverage_sample` pairs (the string metric is host logic by nature;
+    the cap keeps 1M-pair runs practical).
+
+Timing note: completion is forced by pulling a reduced scalar per chunk —
+jax.block_until_ready does not actually block on the axon TPU tunnel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asm_tpu.config import AlignConfig
+from asm_tpu.kernels.greedy import greedy_align
+from asm_tpu.kernels.leap import leap_align
+from asm_tpu.kernels.nw import nw_align, nw_penalty
+from asm_tpu.metrics.coverage import check_coverage
+from asm_tpu.ops.cigar import batch_greedy_cigars, batch_nw_cigars
+from asm_tpu.encoding import decode_string
+
+
+@dataclasses.dataclass
+class BenchmarkResult:
+    """Everything benchmark::print reports (benchmark_utils.h:390-402)."""
+
+    total: int
+    nw_time: float
+    leap_time: float
+    greedy_time: float
+    nw_accuracy: float  # 1.0 by construction (NW is the oracle)
+    leap_accuracy: float
+    greedy_accuracy: float
+    greedy_coverage: float
+    coverage_checked: int
+    # derived throughputs (alignments / second)
+    nw_aligns_per_sec: float = 0.0
+    leap_aligns_per_sec: float = 0.0
+    greedy_aligns_per_sec: float = 0.0
+
+
+def _force_scalar(x) -> int:
+    return int(np.asarray(x))
+
+
+def run_benchmark(
+    read_codes: np.ndarray,
+    read_len: np.ndarray,
+    ref_codes: np.ndarray,
+    ref_len: np.ndarray,
+    cfg: AlignConfig | None = None,
+    chunk: int = 1 << 17,
+    coverage_sample: int = 20000,
+    want_coverage: bool = True,
+    progress=None,
+) -> BenchmarkResult:
+    """Run the three-way benchmark over an encoded corpus.
+
+    Args mirror the kernels' batch layout (int8 codes + int32 lengths).
+    `chunk` bounds per-launch batch size; `coverage_sample` caps how many
+    pairs get the host-side CIGAR coverage check (0/want_coverage=False
+    disables it).
+    """
+    cfg = cfg or AlignConfig()
+    B = read_codes.shape[0]
+    chunk = min(chunk, B)
+
+    nw_fn = jax.jit(
+        functools.partial(nw_penalty, x=cfg.x, o=cfg.o, e=cfg.e)
+    )
+    greedy_fn = jax.jit(functools.partial(greedy_align, cfg=cfg))
+    leap_fn = jax.jit(functools.partial(leap_align, cfg=cfg))
+
+    slices = [slice(i, min(i + chunk, B)) for i in range(0, B, chunk)]
+    # pad the tail chunk to the full chunk size (one compile for all)
+    def chunk_args(sl):
+        n = sl.stop - sl.start
+        if n == chunk:
+            return (read_codes[sl], read_len[sl], ref_codes[sl], ref_len[sl])
+        pad = chunk - n
+        return (
+            np.concatenate([read_codes[sl], read_codes[:pad]]),
+            np.concatenate([read_len[sl], read_len[:pad]]),
+            np.concatenate([ref_codes[sl], ref_codes[:pad]]),
+            np.concatenate([ref_len[sl], ref_len[:pad]]),
+        )
+
+    staged = [tuple(map(jax.device_put, chunk_args(sl))) for sl in slices]
+    sizes = [sl.stop - sl.start for sl in slices]
+
+    def timed_pass(fn, extract):
+        # warmup/compile on the first chunk (not timed, mirrors the
+        # reference timing only the algorithm loop)
+        _force_scalar(extract(fn(*staged[0])).sum())
+        outs = []
+        t0 = time.perf_counter()
+        for args in staged:
+            outs.append(extract(fn(*args)))
+        total = sum(jnp.sum(o, dtype=jnp.int32) for o in outs)
+        _force_scalar(total)
+        dt = time.perf_counter() - t0
+        return dt, [np.asarray(o)[:n] for o, n in zip(outs, sizes)]
+
+    nw_time, nw_pens = timed_pass(nw_fn, lambda r: r)
+    greedy_time, greedy_costs = timed_pass(greedy_fn, lambda r: r["cost"])
+    leap_time, leap_pens = timed_pass(leap_fn, lambda r: r["penalty"])
+
+    nw_pen = np.concatenate(nw_pens)
+    g_cost = np.concatenate(greedy_costs)
+    l_pen = np.concatenate(leap_pens)
+
+    leap_acc = float((l_pen == nw_pen).mean())
+    greedy_acc = float((g_cost == nw_pen).mean())
+
+    coverage = 0.0
+    checked = 0
+    if want_coverage and coverage_sample > 0:
+        checked = min(coverage_sample, B)
+        sl = slice(0, checked)
+        align_chunk = min(chunk, 1 << 15, checked)
+        covered = 0
+        a_fn = jax.jit(
+            functools.partial(nw_align, x=cfg.x, o=cfg.o, e=cfg.e)
+        )
+        for i in range(0, checked, align_chunk):
+            j = min(i + align_chunk, checked)
+            rc, rl = read_codes[i:j], read_len[i:j]
+            fc, fl = ref_codes[i:j], ref_len[i:j]
+            _, nw_ops = a_fn(
+                jnp.asarray(rc), jnp.asarray(rl), jnp.asarray(fc),
+                jnp.asarray(fl),
+            )
+            g = greedy_fn(
+                jnp.asarray(rc), jnp.asarray(rl), jnp.asarray(fc),
+                jnp.asarray(fl),
+            )
+            nw_cigars = batch_nw_cigars(np.asarray(nw_ops))
+            g_cigars = batch_greedy_cigars(
+                {k: np.asarray(v) for k, v in g.items()
+                 if k.startswith("cigar")}
+            )
+            for b in range(j - i):
+                s1 = decode_string(rc[b], int(rl[b]))
+                s2 = decode_string(fc[b], int(fl[b]))
+                covered += check_coverage(
+                    s1, s2, g_cigars[b], nw_cigars[b], 1, 3
+                )
+            if progress:
+                progress(f"coverage {j}/{checked}")
+        coverage = covered / max(checked, 1)
+
+    return BenchmarkResult(
+        total=B,
+        nw_time=nw_time,
+        leap_time=leap_time,
+        greedy_time=greedy_time,
+        nw_accuracy=1.0,
+        leap_accuracy=leap_acc,
+        greedy_accuracy=greedy_acc,
+        greedy_coverage=coverage,
+        coverage_checked=checked,
+        nw_aligns_per_sec=B / nw_time if nw_time else 0.0,
+        leap_aligns_per_sec=B / leap_time if leap_time else 0.0,
+        greedy_aligns_per_sec=B / greedy_time if greedy_time else 0.0,
+    )
+
+
+def format_report(r: BenchmarkResult) -> str:
+    """The reference's report block (benchmark_utils.h:390-402), plus
+    throughput lines."""
+    lines = [
+        "===================== Benchmark Results =====================",
+        f"Total number of alignments: {r.total}",
+        "[Time]",
+        f"=> Needleman-Wunsch | {r.nw_time:.3f} s"
+        f"  ({r.nw_aligns_per_sec / 1e6:.3f}M aligns/s)",
+        f"=> LEAP             | {r.leap_time:.3f} s"
+        f"  ({r.leap_aligns_per_sec / 1e6:.3f}M aligns/s)",
+        f"=> Greedy           | {r.greedy_time:.3f} s"
+        f"  ({r.greedy_aligns_per_sec / 1e6:.3f}M aligns/s)",
+        "[Accuracy] (percentage of alignments matching optimal penalty)",
+        f"=> Needleman-Wunsch | {r.nw_accuracy * 100:.3f} %",
+        f"=> LEAP             | {r.leap_accuracy * 100:.3f} %",
+        f"=> Greedy           | {r.greedy_accuracy * 100:.3f} %",
+        "[Coverage] (percentage of alignments covering all long consecutive matches)",
+        f"=> Greedy           | {r.greedy_coverage * 100:.3f} %"
+        f"  (checked on {r.coverage_checked} pairs)",
+    ]
+    return "\n".join(lines)

@@ -32,11 +32,12 @@ asm_tpu.reference_impl.greedy_ref (see its docstring for the reference
 quirks deliberately reproduced, and the one documented deviation:
 deterministic sentinel padding past string ends).
 
-CIGAR: each iteration writes its <= 2 ops into FIXED slots [2*it, 2*it+1]
-of a [B, C] (op, run) buffer via dynamic_update_slice (scatter-free; rows
-that do not move write run=0, skipped at decode). The reference appends to
-a std::string per step (_update_CIGAR, hurdle_matrix.h:238-251); op codes:
-1 '=', 2 'X', 3 'I', 4 'D', 5 'M'.
+CIGAR: each iteration records only (lane delta, columns advanced) into one
+[B, 1] column of compact step buffers; the [B, 2T+2] (op, run) slot arrays
+are materialized vectorized AFTER the loop (slots with run 0 are empty and
+skipped at decode). The reference appends to a std::string per step
+(_update_CIGAR, hurdle_matrix.h:238-251); op codes: 1 '=', 2 'X', 3 'I',
+4 'D', 5 'M'.
 """
 
 from __future__ import annotations
@@ -48,6 +49,11 @@ import jax.numpy as jnp
 
 from asm_tpu.config import AlignConfig, AlignmentType
 from asm_tpu.ops.bitops import flip_short_hurdles
+from asm_tpu.ops.packed import (
+    pack_rows,
+    first_set_from,
+    count_range as packed_count_range,
+)
 from asm_tpu.ops.hurdles import (
     build_greedy_lanes,
     lane_destination,
@@ -91,32 +97,33 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
 
     lanes_idx = jnp.arange(-k, k + 1, dtype=jnp.int32)  # [NL]
 
-    # --- setup: hurdle rows (hurdle_matrix.h:441-455) ---
-    orig = build_greedy_lanes(read_codes, ref_codes, k) != 0  # bool[B, NL, L]
-    den = flip_short_hurdles(orig.astype(jnp.int8), cfg.flip_threshold) != 0
-    den_zero = ~den  # highway positions
+    # --- setup: hurdle rows (hurdle_matrix.h:441-455), then bit-pack ---
+    # The loop below only ever touches the PACKED rows ([B, NL, L/32]
+    # uint32) — the batched equivalent of the reference's int_128bit lane
+    # registers; queries are popcount/ctz word math (asm_tpu.ops.packed).
+    orig_b = build_greedy_lanes(read_codes, ref_codes, k) != 0  # bool[B,NL,L]
+    den_b = flip_short_hurdles(orig_b.astype(jnp.int8), cfg.flip_threshold) != 0
+    orig = pack_rows(orig_b)  # uint32[B, NL, W]
+    den = pack_rows(den_b)
+    den_zero = pack_rows(~den_b)
 
-    pos3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)  # [1,1,L]
+    def first_index(rows_packed, from_col):
+        """min p >= from_col with a set bit, else L — every first_zero /
+        first_one tzcnt query (GASMA/utils.h:168-191)."""
+        return first_set_from(rows_packed, from_col)
 
-    def first_index(rows_bool, from_col):
-        """min p >= from_col with rows_bool[p], else L — every first_zero /
-        first_one tzcnt query (GASMA/utils.h:168-191) as one fused masked
-        min-reduction over the L axis."""
-        cand = jnp.where(rows_bool & (pos3 >= from_col[..., None]), pos3, L)
-        return jnp.min(cand, axis=-1)
-
-    def count_range(rows_bool, lo, hi):
-        """popcount of rows_bool in [lo, hi) — pop_count_between
-        (GASMA/utils.h:263-270) as one fused masked sum; out-of-range or
-        inverted windows count 0 exactly like the reference's clamp."""
-        mask = (pos3 >= lo[..., None]) & (pos3 < hi[..., None])
-        return jnp.sum(rows_bool & mask, axis=-1, dtype=jnp.int32)
+    def count_range(rows_packed, lo, hi):
+        """popcount in [lo, hi) — pop_count_between (GASMA/utils.h:263-270);
+        out-of-range or inverted windows count 0 like the reference clamp."""
+        return packed_count_range(rows_packed, lo, hi)
 
     dest = lane_destination(m[:, None], n[:, None], lanes_idx[None, :])  # [B, NL]
     dest_lane = n - m  # [B]
     in_band = jnp.abs(dest_lane) <= k
 
-    C = cfg.cigar_ops_bound
+    def pick_outer(arr, li):
+        onehot = jnp.arange(NL, dtype=jnp.int32)[None, :] == li[:, None]
+        return jnp.sum(jnp.where(onehot, arr, jnp.zeros((), arr.dtype)), axis=1)
 
     state = dict(
         cur_lane=jnp.zeros((B,), jnp.int32),
@@ -127,8 +134,9 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         sp=jnp.full((B, NL), -1, jnp.int32),
         hlen=jnp.zeros((B, NL), jnp.int32),
         nsw=jnp.full((B, NL), L, jnp.int32),
-        cigar_ops=jnp.zeros((B, C), jnp.int8),
-        cigar_runs=jnp.zeros((B, C), jnp.int32),
+        # per-step records (lane delta, columns advanced) — CIGAR source
+        step_dl=jnp.zeros((B, cfg.steps_bound), jnp.int8),
+        step_dist=jnp.zeros((B, cfg.steps_bound), jnp.int16),
         steps=jnp.zeros((B,), jnp.int32),
         it=jnp.int32(0),
     )
@@ -139,11 +147,18 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     def take_lane(arr, li):
         """arr[b, li[b], :] without a gather: one-hot over the tiny NL axis."""
         onehot = lanes_onehot(li)  # [B, NL, 1]
-        return jnp.sum(jnp.where(onehot, arr, 0), axis=1)
+        zero = jnp.zeros((), arr.dtype)
+        return jnp.sum(jnp.where(onehot, arr, zero), axis=1)
 
     def lanes_onehot(li):
         ids = jnp.arange(NL, dtype=jnp.int32)[None, :, None]
         return ids == li[:, None, None]
+
+    def pick(arr, li):
+        """arr[b, li[b]] for [B, NL] arrays — one-hot sum instead of a
+        take_along_axis gather (TPU lowers even [B, 7] gathers poorly)."""
+        onehot = jnp.arange(NL, dtype=jnp.int32)[None, :] == li[:, None]
+        return jnp.sum(jnp.where(onehot, arr, jnp.zeros((), arr.dtype)), axis=1)
 
     def body(s):
         act = ~s["done"]  # [B]
@@ -211,15 +226,15 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
             best_lh = jnp.where(better, lh, best_lh)
             best_li = jnp.where(better, li, best_li)
 
-        best_len = jnp.take_along_axis(hlen, best_li[:, None], 1)[:, 0]
+        best_len = pick(hlen, best_li)
         valid = best_len > 0  # else: terminate without a step (:358-361)
 
         # ---- _choose_best_highway (hurdle_matrix.h:368-401) ----
         best_lane_v = best_li - k  # lane number
-        sp_b = jnp.take_along_axis(sp, best_li[:, None], 1)[:, 0]
-        swc_b = jnp.take_along_axis(swc, best_li[:, None], 1)[:, 0]
-        hc_b = jnp.take_along_axis(hc, best_li[:, None], 1)[:, 0]
-        row_b = take_lane(orig, best_li)[:, None, :]  # [B, 1, L] best lane row
+        sp_b = pick(sp, best_li)
+        swc_b = pick(swc, best_li)
+        hc_b = pick(hc, best_li)
+        row_b = take_lane(orig, best_li)[:, None, :]  # [B, 1, W] best lane row
 
         # vectorized per-lane costs (one masked reduction each), then the
         # reference's order-dependent running-minimum replayed over NL
@@ -231,9 +246,7 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         # (hurdle_matrix.h:389 intermediate_cost) — unlike hurdle_cost above
         ic_all = swc + count_range(orig, cs_i, ep)  # [B, NL]
         fwd_lb = switch_forward_column(lanes_idx[None, :], best_lane_v[:, None])
-        cross = count_range(
-            jnp.broadcast_to(row_b, (B, NL, L)), fwd_lb + ep, sp_b[:, None]
-        )
+        cross = count_range(row_b, fwd_lb + ep, sp_b[:, None])
         tc_all = (
             ic_all
             + switch_lane_penalty(lanes_idx[None, :], best_lane_v[:, None], o, e)
@@ -257,10 +270,10 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
 
         # ---- commit the step (_step, hurdle_matrix.h:407-434) ----
         bl_lane = bil - k
-        sp_c = jnp.take_along_axis(sp, bil[:, None], 1)[:, 0]
-        len_c = jnp.take_along_axis(hlen, bil[:, None], 1)[:, 0]
-        swc_c = jnp.take_along_axis(swc, bil[:, None], 1)[:, 0]
-        hc_c = jnp.take_along_axis(hc, bil[:, None], 1)[:, 0]
+        sp_c = pick(sp, bil)
+        len_c = pick(hlen, bil)
+        swc_c = pick(swc, bil)
+        hc_c = pick(hc, bil)
         move = act & valid
 
         cost = s["cost"] + jnp.where(move, swc_c + hc_c, 0)
@@ -268,27 +281,25 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
             cur_col + switch_forward_column(cur_lane, bl_lane)
         )
 
-        # CIGAR: leap (I/D) then merged run (M) into slots [2*it, 2*it+1]
-        # (fixed per iteration -> dynamic_update_slice, no scatter)
+        # record the step compactly: (lane delta, columns advanced) — one
+        # [B, 1] column write each; CIGAR slots are materialized AFTER the
+        # loop in one vectorized pass (keeps the loop carry tiny)
         dl = bl_lane - cur_lane
-        op_leap = jnp.where(dl < 0, OP_I, OP_D).astype(jnp.int8)
-        leap_run = jnp.where(move & (dl != 0), jnp.abs(dl), 0)
-        m_run = jnp.where(move & (distance > 0), distance, 0)
-        slot = 2 * s["it"]
-        ops_blk = jnp.stack(
-            [op_leap, jnp.full((B,), OP_M, jnp.int8)], axis=1
+        it = s["it"]
+        step_dl = jax.lax.dynamic_update_slice(
+            s["step_dl"],
+            jnp.where(move, dl, 0).astype(jnp.int8)[:, None],
+            (jnp.int32(0), it),
         )
-        runs_blk = jnp.stack([leap_run, m_run], axis=1)
-        ops_ = jax.lax.dynamic_update_slice(
-            s["cigar_ops"], ops_blk, (jnp.int32(0), slot)
-        )
-        runs_ = jax.lax.dynamic_update_slice(
-            s["cigar_runs"], runs_blk, (jnp.int32(0), slot)
+        step_dist = jax.lax.dynamic_update_slice(
+            s["step_dist"],
+            jnp.where(move, distance, 0).astype(jnp.int16)[:, None],
+            (jnp.int32(0), it),
         )
 
         new_lane = jnp.where(move, bl_lane, cur_lane)
         new_col = jnp.where(move, sp_c + len_c, cur_col)
-        dest_new = jnp.take_along_axis(dest, (new_lane + k)[:, None], 1)[:, 0]
+        dest_new = pick(dest, new_lane + k)
         done = s["done"] | (act & ~valid) | (move & (new_col >= dest_new))
 
         return dict(
@@ -299,8 +310,8 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
             sp=sp,
             hlen=hlen,
             nsw=nsw,
-            cigar_ops=ops_,
-            cigar_runs=runs_,
+            step_dl=step_dl,
+            step_dist=step_dist,
             steps=s["steps"] + move.astype(jnp.int32),
             it=s["it"] + 1,
         )
@@ -310,14 +321,10 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     # ---- final leap to the destination (run(), hurdle_matrix.h:574-590) ----
     cur_lane, cur_col = s["cur_lane"], s["cur_col"]
     dl_c = jnp.clip(dest_lane, -k, k)
-    dest_col = jnp.take_along_axis(dest, (dl_c + k)[:, None], 1)[:, 0]
-    row_dl = take_lane(orig, dl_c + k)  # [B, L] destination-lane row
+    dest_col = pick_outer(dest, dl_c + k)
+    row_dl = take_lane(orig, dl_c + k)  # [B, W] destination-lane row
     lo = cur_col + switch_forward_column(cur_lane, dest_lane)
-    mask = (
-        (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) >= lo[:, None])
-        & (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) < dest_col[:, None])
-    )
-    distance = jnp.sum(row_dl & mask, axis=-1, dtype=jnp.int32)
+    distance = count_range(row_dl, lo, dest_col)
     distance = jnp.where(in_band, distance, 0)  # out-of-band: stale dest <= 0
     needs = jnp.where(
         in_band,
@@ -328,16 +335,30 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     cost = s["cost"] + jnp.where(needs, sc + jnp.maximum(0, x * distance), 0)
 
     dl = dest_lane - cur_lane
-    op_leap = jnp.where(dl < 0, OP_I, OP_D).astype(jnp.int8)
-    leap_run = jnp.where(needs & (dl != 0), jnp.abs(dl), 0)
-    m_run = jnp.where(needs & (distance > 0), distance, 0)
-    slot = 2 * s["it"]
-    ops_blk = jnp.stack([op_leap, jnp.full((B,), OP_M, jnp.int8)], axis=1)
-    runs_blk = jnp.stack([leap_run, m_run], axis=1)
-    ops_ = jax.lax.dynamic_update_slice(
-            s["cigar_ops"], ops_blk, (jnp.int32(0), slot)
-        )
-    runs_ = jax.lax.dynamic_update_slice(s["cigar_runs"], runs_blk, (jnp.int32(0), slot))
+    leap_run_f = jnp.where(needs & (dl != 0), jnp.abs(dl), 0)
+    m_run_f = jnp.where(needs & (distance > 0), distance, 0)
+
+    # ---- materialize CIGAR slot buffers from the step records ----
+    # slot 2t   : leap op (I if the step moved down a lane, else D)
+    # slot 2t+1 : merged match-or-mismatch 'M' run
+    # empty slots carry run 0 and are skipped at decode.
+    T = cfg.steps_bound
+    sdl = s["step_dl"].astype(jnp.int32)  # [B, T]
+    sdist = s["step_dist"].astype(jnp.int32)
+    ops_even = jnp.where(sdl < 0, OP_I, OP_D).astype(jnp.int8)
+    runs_even = jnp.abs(sdl)
+    ops_odd = jnp.full((B, T), OP_M, jnp.int8)
+    runs_odd = sdist
+    ops_steps = jnp.stack([ops_even, ops_odd], axis=2).reshape(B, 2 * T)
+    runs_steps = jnp.stack([runs_even, runs_odd], axis=2).reshape(B, 2 * T)
+    op_leap_f = jnp.where(dl < 0, OP_I, OP_D).astype(jnp.int8)
+    ops_ = jnp.concatenate(
+        [ops_steps, op_leap_f[:, None], jnp.full((B, 1), OP_M, jnp.int8)],
+        axis=1,
+    )
+    runs_ = jnp.concatenate(
+        [runs_steps, leap_run_f[:, None], m_run_f[:, None]], axis=1
+    )
 
     return dict(
         cost=cost,

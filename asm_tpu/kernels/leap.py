@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from asm_tpu.config import AlignConfig, LeapMode
-from asm_tpu.ops.bitops import next_one_index, gather_last
+from asm_tpu.ops.packed import pack_rows, first_set_from
 from asm_tpu.ops.hurdles import build_leap_lanes
 
 # plain ints (not jnp scalars): module import must not initialize the backend
@@ -59,8 +59,10 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         jnp.minimum(read_len, L), jnp.minimum(ref_len, L)
     ).astype(jnp.int32)  # benchmark_utils.h:162
 
-    lanes = build_leap_lanes(read_codes, ref_codes, k)  # [B, TL, L]
-    no = next_one_index(lanes)  # [B, TL, L+1] first mismatch >= p
+    # bit-packed hurdle rows (uint32 words, asm_tpu.ops.packed): the hot
+    # count_ID_length query becomes ctz/popcount word math instead of a
+    # gather into a precomputed [B, TL, L+1] next-index table
+    lanes = pack_rows(build_leap_lanes(read_codes, ref_codes, k) != 0)
 
     lane_ids = jnp.arange(TL, dtype=jnp.int32)
     interior = (lane_ids >= 1) & (lane_ids <= TL - 2)
@@ -68,8 +70,8 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     bot = (lane_ids <= mid).astype(jnp.int32)
     lane_diff = jnp.abs(lane_ids - mid)
 
-    def count_id(start):  # LV_BAG.cpp:9-23 as a gather
-        g = gather_last(no, jnp.maximum(start, 0))
+    def count_id(start):  # LV_BAG.cpp:9-23 as packed first-mismatch scan
+        g = first_set_from(lanes, jnp.maximum(start, 0))
         run_end = jnp.minimum(g, buflen[:, None])
         return jnp.where(start >= buflen[:, None], start, run_end)
 

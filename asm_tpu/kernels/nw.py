@@ -9,15 +9,23 @@ total (== -parasail score with matrix ("ACGT", 0, -x), benchmark_utils.h:288).
 TPU design: instead of parasail's striped-SIMD single-pair DP, the batch of
 pairs IS the parallel axis. The DP runs as an anti-diagonal wavefront
 (jax.lax.scan over 2L diagonals): every cell of one diagonal depends only on
-the two previous diagonals, so a whole diagonal of L+1 cells is one fused
-VPU pass — vectorized over [B, L+1] with B pairs across sublanes and the
-diagonal across lanes. No data-dependent shapes: all pairs run the full
-2L-step wavefront and each pair's result is snapshotted at its own final
-diagonal d == m+n (a per-step [B] gather, far cheaper than stacking the DP).
+the two previous diagonals, so a whole diagonal is one fused VPU pass —
+vectorized over [B, L] with B pairs across sublanes and the diagonal across
+lanes. Only cells i in [1, L] are stored: the i == 0 top-border column has
+the closed form o + (d-1)*e and is folded in as the shift fill, keeping
+every state array exactly L = 128 lanes (a stored L+1 column would make the
+TPU pad every array to 256 lanes — 2x memory and bandwidth for one column).
+
+No data-dependent shapes: all pairs run the full 2L-step wavefront and each
+pair's result is snapshotted at its own final diagonal d == m+n via a
+one-hot masked reduce (gather-free: TPU lowers per-row gathers orders of
+magnitude slower than streaming reductions).
 
 Traceback (for CIGAR / the coverage metric) stores one packed pointer byte
-per cell per diagonal during the forward scan and then chases pointers for
-2L masked steps — each step one flat gather — emitting one op per step.
+per cell per diagonal during the forward scan, then replays the diagonals
+in a reverse lax.scan: each pair advances exactly when the scan reaches its
+cursor's diagonal, fetching its pointer byte with a one-hot reduce over
+that [B, L] slice — no gathers anywhere.
 """
 
 from __future__ import annotations
@@ -41,47 +49,53 @@ OP_D = 4  # 'D' consumes s2 (ref)
 def _wavefront(read_codes, ref_codes, read_len, ref_len, x, o, e, want_trace):
     """Shared forward pass. Returns (penalty[B], ptr_stack or None).
 
-    Coordinates: cell (i, j) aligns read[:i] with ref[:j]; diagonal d = i+j,
-    cells indexed by i in [0, L]. State H/E/F as in Gotoh: E = gap consuming
-    the read ('I'), F = gap consuming the ref ('D').
+    Coordinates: cell (i, j) aligns read[:i] with ref[:j]; diagonal d = i+j.
+    State arrays hold cells i in [1, L] at index q = i-1 (see module
+    docstring for why i == 0 is virtual). H/E/F as in Gotoh: E = gap
+    consuming the read ('I'), F = gap consuming the ref ('D').
     """
     B, L = read_codes.shape
-    W = L + 1
-    ii = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)  # i along the diagonal
+    ii = 1 + jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)  # i = q+1
 
-    # read char used by cell i: read[i-1] (sentinel at i=0)
-    aa = jnp.concatenate(
-        [jnp.full((B, 1), -1, dtype=jnp.int8), read_codes], axis=1
-    ).astype(jnp.int8)
-    # reversed ref padded on both sides so cell i of diag d reads
-    # ref[d-i-1] = b_rev_pad[(L - d + W) + i]  (dynamic slice per diagonal)
+    # cell i uses read[i-1] = read_codes[:, q]
+    aa = read_codes
+    # cell i of diag d uses ref[d-i-1] = b_rev_pad[(2L+1-d) + q]
     b_rev = jnp.flip(ref_codes, axis=1)
     b_rev_pad = jnp.concatenate(
         [
-            jnp.full((B, W), -2, dtype=jnp.int8),
+            jnp.full((B, L), -2, dtype=jnp.int8),
             b_rev,
-            jnp.full((B, W), -2, dtype=jnp.int8),
+            jnp.full((B, L), -2, dtype=jnp.int8),
         ],
         axis=1,
     )
 
-    mn = read_len + ref_len  # final diagonal per pair
+    m = read_len.astype(jnp.int32)
+    mn = m + ref_len.astype(jnp.int32)  # final diagonal per pair
 
-    h0 = jnp.where(ii == 0, 0, INF)  # diagonal 0: only (0,0) valid
-    e0 = jnp.full((B, W), INF, dtype=jnp.int32)
-    f0 = jnp.full((B, W), INF, dtype=jnp.int32)
-    pen0 = jnp.where(mn == 0, 0, INF)
+    h0 = jnp.full((B, L), INF, dtype=jnp.int32)  # diag 0 has no i >= 1 cells
+    e0 = jnp.full((B, L), INF, dtype=jnp.int32)
+    f0 = jnp.full((B, L), INF, dtype=jnp.int32)
+    # pairs with an empty read end on the virtual top border: closed form
+    pen0 = jnp.where(
+        mn == 0, 0, jnp.where(m == 0, o + (mn - 1) * e, INF)
+    )
 
     def shift_i(arr, fill):
-        """value at index i-1 along the diagonal axis."""
+        """value at cell i-1 (state index q-1); q=0 reads `fill` (= the
+        virtual i == 0 border cell)."""
         return jnp.concatenate(
             [jnp.full((B, 1), fill, dtype=arr.dtype), arr[:, :-1]], axis=1
         )
 
+    def h_top(dd):
+        """closed-form H at the virtual top-border cell (0, dd)."""
+        return jnp.where(dd <= 0, jnp.where(dd == 0, 0, INF), o + (dd - 1) * e)
+
     def step(carry, d):
         h1, h2, e1, f1, pen = carry
         # gap-state recurrences (open preferred on ties, matching nw_ref)
-        e_open = shift_i(h1, INF) + o
+        e_open = shift_i(h1, h_top(d - 1)) + o
         e_ext = shift_i(e1, INF) + e
         e_new = jnp.minimum(e_open, e_ext)
         f_open = h1 + o
@@ -89,24 +103,24 @@ def _wavefront(read_codes, ref_codes, read_len, ref_len, x, o, e, want_trace):
         f_new = jnp.minimum(f_open, f_ext)
 
         # substitution from diagonal d-2
-        bb = jax.lax.dynamic_slice_in_dim(b_rev_pad, L - d + W, W, axis=1)
+        bb = jax.lax.dynamic_slice_in_dim(b_rev_pad, 2 * L + 1 - d, L, axis=1)
         mis = (aa != bb).astype(jnp.int32)
-        sub = shift_i(h2, INF) + x * mis
+        sub = shift_i(h2, h_top(d - 2)) + x * mis
 
         h_new = jnp.minimum(sub, jnp.minimum(e_new, f_new))
 
-        # boundary cells of this diagonal: i == 0 (j = d) and i == d (j = 0)
+        # left-border cell of this diagonal: i == d (j = 0)
         border_pen = o + (d - 1) * e
-        at_top = ii == 0
         at_left = ii == d
-        h_new = jnp.where(at_top | at_left, border_pen, h_new)
-        e_new = jnp.where(at_top, INF, jnp.where(at_left, border_pen, e_new))
-        f_new = jnp.where(at_left, INF, jnp.where(at_top, border_pen, f_new))
+        h_new = jnp.where(at_left, border_pen, h_new)
+        e_new = jnp.where(at_left, border_pen, e_new)
+        f_new = jnp.where(at_left, INF, f_new)
         # cells beyond the valid triangle (i > d) are never read; leave as-is
 
-        # snapshot the final cell for pairs whose alignment ends on diagonal d
-        val = jnp.take_along_axis(h_new, read_len[:, None], axis=1)[:, 0]
-        pen = jnp.where(d == mn, val, pen)
+        # snapshot the final cell for pairs whose alignment ends on diagonal
+        # d (one-hot masked reduce; m == 0 pairs were closed-form in pen0)
+        val = jnp.sum(jnp.where(ii == m[:, None], h_new, 0), axis=1)
+        pen = jnp.where((d == mn) & (m > 0), val, pen)
 
         if want_trace:
             # packed pointer byte: bits0-1 H-source (0 diag, 1 E, 2 F),
@@ -116,11 +130,10 @@ def _wavefront(read_codes, ref_codes, read_len, ref_len, x, o, e, want_trace):
                 0,
                 jnp.where(h_new == e_new, 1, 2),
             )
-            ptr_h = jnp.where(at_top, 2, jnp.where(at_left, 1, ptr_h))
+            ptr_h = jnp.where(at_left, 1, ptr_h)
             e_is_open = e_open <= e_ext
             e_is_open = jnp.where(at_left, d == 1, e_is_open)
             f_is_open = f_open <= f_ext
-            f_is_open = jnp.where(at_top, d == 1, f_is_open)
             ptr = (
                 ptr_h.astype(jnp.uint8)
                 | (e_is_open.astype(jnp.uint8) << 2)
@@ -137,7 +150,7 @@ def _wavefront(read_codes, ref_codes, read_len, ref_len, x, o, e, want_trace):
         (h0, h0, e0, f0, pen0),
         jnp.arange(1, 2 * L + 1, dtype=jnp.int32),
     )
-    return penalty, ptrs  # ptrs: [2L, B, W] uint8 (diag d at index d-1)
+    return penalty, ptrs  # ptrs: [2L, B, L] uint8 (diag d at index d-1)
 
 
 @functools.partial(jax.jit, static_argnames=("x", "o", "e"))
@@ -156,22 +169,29 @@ def nw_align(read_codes, read_len, ref_codes, ref_len, x=1, o=1, e=1):
     asm_tpu.ops.cigar.ops_to_cigar to render CIGAR strings.
     """
     B, L = read_codes.shape
-    W = L + 1
     penalty, ptrs = _wavefront(
         read_codes, ref_codes, read_len, ref_len, x, o, e, True
     )
-    ptrs_flat = ptrs.reshape(-1)  # [(2L) * B * W]
-    rows = jnp.arange(B, dtype=jnp.int32)
+    # Traceback as a REVERSE scan over the stored pointer diagonals: the
+    # scan visits d = 2L .. 1; a pair whose cursor sits on diagonal d takes
+    # exactly one move (to d-1 on a gap, d-2 on a substitution) and idles
+    # otherwise — the per-step byte fetch is a one-hot reduce over the
+    # [B, L] diagonal slice, never a gather. Total moves per pair <= 2L and
+    # d strictly decreases per move, so one sweep suffices. Cells at i == 0
+    # are not stored (module docstring): their byte is the closed form
+    # "F-gap, opened iff d == 1".
+    ww = 1 + jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
-    def fetch(i, j):
-        d = i + j  # in [1, 2L]; byte for diag d lives at index d-1
-        flat = (d - 1) * (B * W) + rows * W + i
-        return ptrs_flat[jnp.clip(flat, 0, ptrs_flat.shape[0] - 1)]
-
-    def body(t, state):
-        i, j, st, ops = state
-        active = (i > 0) | (j > 0)
-        byte = fetch(i, j)
+    def step(carry, xs):
+        d, ptr_d = xs  # scalar diag index, [B, L] pointer bytes of diag d
+        i, j, st = carry
+        active = (i + j == d) & ((i > 0) | (j > 0))
+        fetched = jnp.sum(
+            jnp.where(ww == i[:, None], ptr_d, jnp.uint8(0)).astype(jnp.int32),
+            axis=1,
+        )
+        top_byte = 2 | jnp.where(d == 1, 8, 0)  # virtual i == 0 cell
+        byte = jnp.where(i == 0, top_byte, fetched)
         ptr_h = byte & 3
         e_open = (byte >> 2) & 1
         f_open = (byte >> 3) & 1
@@ -188,7 +208,6 @@ def nw_align(read_codes, read_len, ref_codes, ref_len, x=1, o=1, e=1):
             jnp.where(go_e, OP_I, OP_D),
         ).astype(jnp.int8)
         op = jnp.where(active, op, OP_NONE).astype(jnp.int8)
-        ops = ops.at[rows, t].set(op)
 
         di = jnp.where(go_diag | go_e, 1, 0)
         dj = jnp.where(go_diag | go_f, 1, 0)
@@ -204,11 +223,14 @@ def nw_align(read_codes, read_len, ref_codes, ref_len, x=1, o=1, e=1):
         i = jnp.where(active, i - di, i)
         j = jnp.where(active, j - dj, j)
         st = jnp.where(active, new_st, st).astype(jnp.int32)
-        return i, j, st, ops
+        return (i, j, st), op
 
-    ops0 = jnp.zeros((B, 2 * L), dtype=jnp.int8)
-    st0 = jnp.zeros((B,), dtype=jnp.int32)
-    _, _, _, ops = jax.lax.fori_loop(
-        0, 2 * L, body, (read_len.astype(jnp.int32), ref_len.astype(jnp.int32), st0, ops0)
+    ds = jnp.arange(2 * L, 0, -1, dtype=jnp.int32)
+    _, ops_rev = jax.lax.scan(
+        step,
+        (read_len.astype(jnp.int32), ref_len.astype(jnp.int32),
+         jnp.zeros((B,), jnp.int32)),
+        (ds, jnp.flip(ptrs, axis=0)),
     )
-    return penalty, ops
+    # ops_rev: [2L, B] in traceback (reverse-alignment) order
+    return penalty, ops_rev.T
