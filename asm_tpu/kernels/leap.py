@@ -39,12 +39,19 @@ UNREACHED = -2
 BIG = 1 << 29
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "want_history"))
+def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
+               want_history: bool = False):
     """Run LEAP on a batch.
 
     Returns dict(passed bool[B], penalty int32[B] (= af_threshold+1 when not
     passed), lane_shift int32[B] (final diagonal offset from mid)).
+
+    With want_history=True additionally returns the full per-energy
+    wavefront tables start/end/i_pos/d_pos as int32[B, af+1, TL] — the
+    input to leap_backtrack (host-side CIGAR reconstruction, mirroring
+    LV::backtrack LV_BAG.cpp:250-354). History costs 4*(af+1)*TL ints per
+    pair; use small batches in CIGAR mode.
     """
     B, L = read_codes.shape
     k = cfg.k
@@ -53,7 +60,9 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     ms, go, ge = cfg.x, cfg.o, cfg.e
     af = cfg.leap_af_threshold
     mode = cfg.leap_mode
-    R = max(go, ge, ms) + 1  # ring depth for history rows
+    # ring depth: backtracking needs the full energy history; the plain
+    # filter path only the last max(go, ge, ms)+1 rows
+    R = (af + 1) if want_history else max(go, ge, ms) + 1
 
     buflen = jnp.maximum(
         jnp.minimum(read_len, L), jnp.minimum(ref_len, L)
@@ -103,6 +112,9 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         final_ed=jnp.where(passed0, 0, af + 1).astype(jnp.int32),
         final_lane=jnp.where(passed0, lane0, mid).astype(jnp.int32),
     )
+    if want_history:
+        start_hist = jnp.full((B, R, TL), UNREACHED, jnp.int32)
+        state["start_hist"] = start_hist.at[:, 0, :].set(start0)
 
     def row(hist, e_idx):
         r = jnp.mod(e_idx, R)
@@ -187,7 +199,7 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
                 hist, new[:, None, :], r, axis=1
             )
 
-        return dict(
+        out = dict(
             e=e + 1,
             end_hist=put(s["end_hist"], end_new),
             i_hist=put(s["i_hist"], i_new),
@@ -196,10 +208,20 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
             final_ed=final_ed,
             final_lane=final_lane,
         )
+        if want_history:
+            out["start_hist"] = put(s["start_hist"], start_new)
+        return out
 
     s = jax.lax.while_loop(cond, body, state)
-    return dict(
+    out = dict(
         passed=s["passed"],
         penalty=s["final_ed"],
         lane_shift=s["final_lane"] - mid,
     )
+    if want_history:
+        out["start"] = s["start_hist"]
+        out["end"] = s["end_hist"]
+        out["i_pos"] = s["i_hist"]
+        out["d_pos"] = s["d_hist"]
+        out["final_lane_idx"] = s["final_lane"]
+    return out
