@@ -1,0 +1,253 @@
+// asm_tpu native runtime: corpus IO + 2-bit packing + WFA-style generator.
+//
+// TPU-native equivalent of the reference's host-side data layer:
+//   * pair-file reader  (">READ\n<REF\n", benchmark_utils.h:325-352)
+//   * FASTA / FASTQ readers (mapper/main.cpp:32-41 via SeqAn3 — here a
+//     dependency-free parser)
+//   * ASCII -> 2-bit code packing (bit_convert.cpp:248-369 does this with
+//     a 7-stage SSE shuffle transpose; a TPU host only needs to emit the
+//     framework's int8 code layout, which the compiler auto-vectorizes)
+//   * seeded dataset generator (benchmark_dataset.h:61-254) — C++ speed
+//     for multi-million-pair corpora with the same sequential error
+//     process as asm_tpu.data.generator (but its own RNG stream).
+//
+// Exposed as a C ABI consumed via ctypes (asm_tpu/native/__init__.py).
+// Codes: A=0 C=1 G=2 T=3; PAD_READ=4, PAD_REF=5 (asm_tpu.encoding).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int8_t PAD_READ = 4;
+constexpr int8_t PAD_REF = 5;
+
+int8_t code_of(char c) {
+    switch (c) {
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': return 3;
+        default: return 0;  // A and non-ACGT (matches encoding._BASE_TO_CODE)
+    }
+}
+
+void encode_into(const std::string& s, int8_t* row, int max_len, int8_t pad,
+                 int32_t* len_out) {
+    int n = (int)s.size();
+    if (n > max_len) n = n > max_len ? max_len : n;
+    int i = 0;
+    for (; i < n && i < max_len; i++) row[i] = code_of(s[i]);
+    for (; i < max_len; i++) row[i] = pad;
+    *len_out = n < max_len ? n : max_len;
+}
+
+struct LineReader {
+    FILE* f;
+    explicit LineReader(const char* path) { f = fopen(path, "rb"); }
+    ~LineReader() { if (f) fclose(f); }
+    bool ok() const { return f != nullptr; }
+    bool next(std::string& out) {
+        out.clear();
+        if (!f) return false;
+        int c;
+        bool any = false;
+        while ((c = fgetc(f)) != EOF) {
+            any = true;
+            if (c == '\n') break;
+            if (c != '\r') out.push_back((char)c);
+        }
+        return any;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- pair files (">READ\n<REF\n") -------------------------------------
+
+// Count pairs in a pair file (bounded by max_pairs; pass -1 for all).
+int64_t asm_count_pairs(const char* path, int64_t max_pairs) {
+    LineReader r(path);
+    if (!r.ok()) return -1;
+    std::string l1, l2;
+    int64_t n = 0;
+    while ((max_pairs < 0 || n < max_pairs) && r.next(l1) && r.next(l2)) n++;
+    return n;
+}
+
+// Read up to max_pairs pairs into caller-allocated arrays:
+//   read_codes/ref_codes: int8[max_pairs * max_len]
+//   read_len/ref_len:     int32[max_pairs]
+// skip_first_char mirrors benchmark::read_string_file skipping the '>'/'<'
+// sigil (benchmark_utils.h:333-343). Returns pairs read, or -1 on error.
+int64_t asm_read_pair_file(const char* path, int64_t max_pairs, int32_t max_len,
+                           int32_t skip_first_char, int8_t* read_codes,
+                           int32_t* read_len, int8_t* ref_codes,
+                           int32_t* ref_len) {
+    LineReader r(path);
+    if (!r.ok()) return -1;
+    std::string l1, l2;
+    int64_t n = 0;
+    while (n < max_pairs && r.next(l1) && r.next(l2)) {
+        const int s = skip_first_char ? 1 : 0;
+        std::string a = l1.size() > (size_t)s ? l1.substr(s) : std::string();
+        std::string b = l2.size() > (size_t)s ? l2.substr(s) : std::string();
+        encode_into(a, read_codes + n * max_len, max_len, PAD_READ,
+                    read_len + n);
+        encode_into(b, ref_codes + n * max_len, max_len, PAD_REF, ref_len + n);
+        n++;
+    }
+    return n;
+}
+
+// ---- FASTA / FASTQ -----------------------------------------------------
+
+// Concatenate every FASTA record's sequence into one code array.
+// Returns total length written (caller provides capacity), -1 on error,
+// -2 if capacity insufficient. Record boundaries: n_records/starts outputs
+// (starts has capacity max_records; overflow -> -3).
+int64_t asm_read_fasta(const char* path, int8_t* codes, int64_t capacity,
+                       int64_t* starts, int64_t max_records,
+                       int64_t* n_records) {
+    LineReader r(path);
+    if (!r.ok()) return -1;
+    std::string line;
+    int64_t total = 0, recs = 0;
+    while (r.next(line)) {
+        if (line.empty()) continue;
+        if (line[0] == '>') {
+            if (recs >= max_records) return -3;
+            starts[recs++] = total;
+            continue;
+        }
+        for (char c : line) {
+            if (total >= capacity) return -2;
+            codes[total++] = code_of(c);
+        }
+    }
+    *n_records = recs;
+    return total;
+}
+
+// Read FASTQ reads into fixed rows (same layout as pair reader).
+// Returns number of reads, -1 on error.
+int64_t asm_read_fastq(const char* path, int64_t max_reads, int32_t max_len,
+                       int8_t* codes, int32_t* lens) {
+    LineReader r(path);
+    if (!r.ok()) return -1;
+    std::string h, s, p, q;
+    int64_t n = 0;
+    while (n < max_reads && r.next(h) && r.next(s) && r.next(p) && r.next(q)) {
+        if (h.empty() || h[0] != '@') continue;
+        encode_into(s, codes + n * max_len, max_len, PAD_READ, lens + n);
+        n++;
+    }
+    return n;
+}
+
+// Read FASTQ read NAMES (first whitespace token after '@') into a fixed
+// [max_reads * name_cap] char buffer (NUL-padded). Returns reads seen.
+int64_t asm_read_fastq_names(const char* path, int64_t max_reads,
+                             int32_t name_cap, char* names) {
+    LineReader r(path);
+    if (!r.ok()) return -1;
+    std::string h, s, p, q;
+    int64_t n = 0;
+    while (n < max_reads && r.next(h) && r.next(s) && r.next(p) && r.next(q)) {
+        if (h.empty() || h[0] != '@') continue;
+        char* dst = names + n * name_cap;
+        memset(dst, 0, name_cap);
+        int j = 0;
+        for (size_t i = 1; i < h.size() && j < name_cap - 1; i++) {
+            if (h[i] == ' ' || h[i] == '\t') break;
+            dst[j++] = h[i];
+        }
+        n++;
+    }
+    return n;
+}
+
+// ---- seeded WFA-style generator (benchmark_dataset.h:61-254) ----------
+
+// Same sequential error process as the Python generator (mismatch with
+// probability mismatch_rate else 50/50 insert/delete, applied at random
+// positions of the evolving text); C++ mt19937-based stream (seeded,
+// reproducible; NOT the same stream as numpy). Writes the framework's
+// padded code layout directly.
+void asm_generate_dataset(int64_t num_reads, int32_t length, double error_rate,
+                          double mismatch_rate, int32_t exact_errors,
+                          uint64_t seed, int32_t max_len, int8_t* read_codes,
+                          int32_t* read_len, int8_t* ref_codes,
+                          int32_t* ref_len) {
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    int max_errors = (int)(error_rate * length + 0.999999);
+    std::vector<int8_t> text;
+    text.reserve(length + max_errors + 4);
+    for (int64_t i = 0; i < num_reads; i++) {
+        int8_t* rrow = read_codes + i * max_len;
+        int8_t* frow = ref_codes + i * max_len;
+        text.clear();
+        for (int p = 0; p < length; p++) {
+            int8_t b = (int8_t)(rng() & 3);
+            text.push_back(b);
+            if (p < max_len) rrow[p] = b;
+        }
+        for (int p = length < max_len ? length : max_len; p < max_len; p++)
+            rrow[p] = PAD_READ;
+        read_len[i] = length < max_len ? length : max_len;
+
+        int nerr = exact_errors ? max_errors
+                                : (int)(rng() % (uint64_t)(max_errors + 1));
+        for (int t = 0; t < nerr; t++) {
+            double r = uni(rng);
+            if (r <= mismatch_rate) {
+                if (!text.empty())
+                    text[rng() % text.size()] = (int8_t)(rng() & 3);
+            } else if ((rng() & 1) == 0) {  // deletion
+                if (!text.empty()) text.erase(text.begin() + rng() % text.size());
+            } else {  // insertion
+                size_t pos = text.empty() ? 0 : rng() % text.size();
+                text.insert(text.begin() + pos, (int8_t)(rng() & 3));
+            }
+        }
+        int n = (int)text.size();
+        int keep = n < max_len ? n : max_len;
+        for (int p = 0; p < keep; p++) frow[p] = text[p];
+        for (int p = keep; p < max_len; p++) frow[p] = PAD_REF;
+        ref_len[i] = keep;
+    }
+}
+
+// ---- pair-file writer (Dataset::output, benchmark_dataset.h:225-235) --
+
+int64_t asm_write_pair_file(const char* path, int64_t n, int32_t max_len,
+                            const int8_t* read_codes, const int32_t* read_len,
+                            const int8_t* ref_codes, const int32_t* ref_len) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    static const char BASE[4] = {'A', 'C', 'G', 'T'};
+    std::string buf;
+    for (int64_t i = 0; i < n; i++) {
+        buf.clear();
+        buf.push_back('>');
+        for (int p = 0; p < read_len[i]; p++)
+            buf.push_back(BASE[read_codes[i * max_len + p] & 3]);
+        buf.push_back('\n');
+        buf.push_back('<');
+        for (int p = 0; p < ref_len[i]; p++)
+            buf.push_back(BASE[ref_codes[i * max_len + p] & 3]);
+        buf.push_back('\n');
+        fwrite(buf.data(), 1, buf.size(), f);
+    }
+    fclose(f);
+    return n;
+}
+
+}  // extern "C"
