@@ -1,0 +1,110 @@
+"""LEAP batch edit-distance filter — mirror of LEAP_SIMD/main.cpp:35-300.
+
+Reads pairs (two lines per pair: read, then ref) from stdin or a pair
+file, runs the batched LEAP kernel (optionally gated by the SHD
+pre-filter), and reports pass/total counts and timing:
+
+  python -m asm_tpu.apps.leap_filter ERROR [USE_SHD] [USE_LEVENSHTEIN] \
+      [--file pairs.seq]
+
+Args mirror the reference CLI (main.cpp:55-69): ERROR is the edit
+threshold; USE_SHD 1/0 (default per-mode, :90-98); USE_LEVENSHTEIN 1 for
+unit costs (default), 0 for the affine default init_affine(error, 3e,
+ED_GLOBAL, 2, 3, 1) (:97).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from asm_tpu.config import AlignConfig, LeapMode
+from asm_tpu.kernels.leap import leap_align
+from asm_tpu.kernels.shd import shd_filter
+from asm_tpu.encoding import encode_batch
+
+BATCH = 1 << 16
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("error", type=int)
+    p.add_argument("use_shd", type=int, nargs="?", default=-1)
+    p.add_argument("use_levenshtein", type=int, nargs="?", default=1)
+    p.add_argument("--file", type=str, default=None)
+    args = p.parse_args(argv)
+
+    if args.use_levenshtein:
+        cfg = AlignConfig(
+            x=1, o=1, e=1, k=args.error, leap_af_threshold=args.error,
+            leap_mode=LeapMode.GLOBAL, max_len=256,
+        )
+    else:  # affine default: init_affine(error, error*3, ED_GLOBAL, 2, 3, 1)
+        cfg = AlignConfig(
+            x=2, o=3, e=1, k=args.error,
+            leap_af_threshold=args.error * 3,
+            leap_mode=LeapMode.GLOBAL, max_len=256,
+        )
+    use_shd = args.use_shd == 1
+
+    src = open(args.file) if args.file else sys.stdin
+    total = passed = 0
+    align_time = 0.0
+    compiled = False
+
+    def run_batch(rc, rl, fc, fl):
+        keep = np.ones(rc.shape[0], bool)
+        if use_shd:
+            keep = np.asarray(
+                shd_filter(jnp.asarray(rc), jnp.asarray(rl), jnp.asarray(fc),
+                           jnp.asarray(fl), max_error=args.error)
+            )
+        out = leap_align(
+            jnp.asarray(rc), jnp.asarray(rl), jnp.asarray(fc),
+            jnp.asarray(fl), cfg,
+        )
+        # np.asarray forces completion (tunnel-safe barrier)
+        return np.asarray(out["passed"]) & keep
+
+    while True:
+        reads, refs = [], []
+        for _ in range(BATCH):
+            l1 = src.readline()
+            if not l1:
+                break
+            l2 = src.readline()
+            if not l2:
+                break
+            reads.append(l1.strip())
+            refs.append(l2.strip())
+        if not reads:
+            break
+        n = len(reads)
+        # pad to the fixed BATCH shape: one compile for every batch,
+        # mirroring the reference timing only the align loop (main.cpp:144)
+        reads += [reads[0]] * (BATCH - n)
+        refs += [refs[0]] * (BATCH - n)
+        rc, rl, fc, fl = encode_batch(reads, refs, cfg.max_len)
+        if not compiled:
+            run_batch(rc, rl, fc, fl)  # compile outside the timed region
+            compiled = True
+        t0 = time.perf_counter()
+        ok = run_batch(rc, rl, fc, fl)
+        align_time += time.perf_counter() - t0
+        passed += int(ok[:n].sum())
+        total += n
+    if args.file:
+        src.close()
+
+    # report format cf. LEAP_SIMD/main.cpp:276-278
+    print(f"passNum: {passed}")
+    print(f"totalNum: {total}")
+    print(f"align time: {align_time:.3f} s")
+
+
+if __name__ == "__main__":
+    main()

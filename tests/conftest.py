@@ -4,16 +4,21 @@ runs on the real chip; tests must be hermetic and fast)."""
 
 import os
 
-# NOTE: hard-set, not setdefault — the environment's sitecustomize
-# (PYTHONPATH=/root/.axon_site) re-exports JAX_PLATFORMS=axon inside every
-# interpreter, which would silently put the test suite on the real chip.
-if os.environ.get("ASM_TPU_TEST_PLATFORM", "cpu") == "cpu":
-    os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: the environment's sitecustomize (PYTHONPATH=/root/.axon_site)
+# IMPORTS jax and pins JAX_PLATFORMS=axon before any test code runs, so
+# the env var is already consumed — only jax.config.update can still
+# select the CPU backend (the backend itself initializes lazily).
+# XLA_FLAGS, by contrast, is read at backend init, so the env var works.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+if os.environ.get("ASM_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
