@@ -1,0 +1,41 @@
+"""Encoded-corpus persistence (checkpoint/resume of benchmark inputs).
+
+The reference's only persistence is dataset files reused when present
+(benchmark_dataset.h:212-217 `overwrite` check) and the cereal'd FM-index.
+Here an encoded corpus (the int8/int32 arrays every kernel consumes) is
+one .npz with its generation parameters, so multi-million-pair benchmark
+corpora are generated once and memory-mapped back instantly; a stale cache
+(different parameters) regenerates.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def save_corpus(path: str, read_codes, read_len, ref_codes, ref_len,
+                **params) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    meta = np.array(sorted(params.items()), dtype=object)
+    np.savez_compressed(
+        path, read_codes=read_codes, read_len=read_len,
+        ref_codes=ref_codes, ref_len=ref_len, _params=meta,
+    )
+
+
+def load_corpus(path: str, **expected_params):
+    """Returns (read_codes, read_len, ref_codes, ref_len) or None when the
+    file is absent or was generated with different parameters."""
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path, allow_pickle=True)
+        params = dict(map(tuple, z["_params"]))
+        for k, v in expected_params.items():
+            if k not in params or str(params[k]) != str(v):
+                return None
+        return (z["read_codes"], z["read_len"], z["ref_codes"], z["ref_len"])
+    except (OSError, KeyError, ValueError):
+        return None

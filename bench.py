@@ -45,9 +45,19 @@ def main():
 
     n_pairs = max(chunk, (n_pairs // chunk) * chunk)
     t0 = time.perf_counter()
-    rc, rl, fc, fl = generate_dataset_arrays(
-        n_pairs, 100, err, mismatch_rate=0.96, seed=42, max_len=cfg.max_len
-    )
+    from asm_tpu.utils.corpus_cache import load_corpus, save_corpus
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_cache", f"corpus_{n_pairs}_{err}.npz")
+    params = dict(n=n_pairs, err=err, mr=0.96, seed=42, length=100)
+    got = load_corpus(cache, **params)
+    if got is None:
+        got = generate_dataset_arrays(
+            n_pairs, 100, err, mismatch_rate=0.96, seed=42,
+            max_len=cfg.max_len,
+        )
+        save_corpus(cache, *got, **params)
+    rc, rl, fc, fl = got
     print(
         f"corpus: {n_pairs} pairs err={err} "
         f"({time.perf_counter() - t0:.1f}s)",

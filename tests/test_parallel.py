@@ -1,0 +1,75 @@
+"""Multi-device data parallelism on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from asm_tpu.config import AlignConfig
+from asm_tpu.data.generator import generate_dataset_arrays
+from asm_tpu.parallel import make_mesh, shard_batch, batch_pspec
+from asm_tpu.parallel.runner import (
+    make_sharded_pipeline,
+    make_sharded_greedy,
+    unpack_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_dataset_arrays(64, 80, 0.1, seed=3)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_shard_batch_places_on_mesh(corpus):
+    mesh = make_mesh()
+    rc, rl, fc, fl = shard_batch(mesh, *corpus)
+    assert rc.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None)
+        ),
+        rc.ndim,
+    )
+    with pytest.raises(ValueError):
+        shard_batch(mesh, np.zeros((9, 4)))  # not divisible
+
+
+def test_sharded_pipeline_matches_single_device(corpus):
+    cfg = AlignConfig(k=3)
+    mesh8 = make_mesh(8)
+    mesh1 = make_mesh(1)
+    args8 = shard_batch(mesh8, *corpus)
+    args1 = shard_batch(mesh1, *corpus)
+    nw8, g8, l8, s8 = make_sharded_pipeline(mesh8, cfg)(*args8)
+    nw1, g1, l1, s1 = make_sharded_pipeline(mesh1, cfg)(*args1)
+    np.testing.assert_array_equal(np.asarray(nw8), np.asarray(nw1))
+    np.testing.assert_array_equal(np.asarray(g8), np.asarray(g1))
+    np.testing.assert_array_equal(np.asarray(l8), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s1))
+    stats = unpack_stats(np.asarray(s8))
+    assert stats.pairs == 64
+    assert 0 <= stats.greedy_correct <= 64
+    assert stats.greedy_cost_sum >= stats.nw_penalty_sum
+
+
+def test_sharded_greedy_matches_plain(corpus):
+    import functools
+    import jax.numpy as jnp
+    from asm_tpu.kernels.greedy import greedy_align
+
+    cfg = AlignConfig(k=3)
+    mesh = make_mesh()
+    out_sharded = make_sharded_greedy(mesh, cfg)(*shard_batch(mesh, *corpus))
+    out_plain = jax.jit(functools.partial(greedy_align, cfg=cfg))(
+        *map(jnp.asarray, corpus)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_sharded["cost"]), np.asarray(out_plain["cost"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_sharded["cigar_runs"]),
+        np.asarray(out_plain["cigar_runs"]),
+    )
