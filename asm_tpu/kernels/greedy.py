@@ -134,9 +134,10 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         sp=jnp.full((B, NL), -1, jnp.int32),
         hlen=jnp.zeros((B, NL), jnp.int32),
         nsw=jnp.full((B, NL), L, jnp.int32),
-        # per-step records (lane delta, columns advanced) — CIGAR source
-        step_dl=jnp.zeros((B, cfg.steps_bound), jnp.int8),
-        step_dist=jnp.zeros((B, cfg.steps_bound), jnp.int16),
+        # per-step records (lane delta, columns advanced) — CIGAR source.
+        # [T, B] layout: each iteration writes one contiguous [1, B] row
+        step_dl=jnp.zeros((cfg.steps_bound, B), jnp.int8),
+        step_dist=jnp.zeros((cfg.steps_bound, B), jnp.int16),
         steps=jnp.zeros((B,), jnp.int32),
         it=jnp.int32(0),
     )
@@ -288,13 +289,13 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         it = s["it"]
         step_dl = jax.lax.dynamic_update_slice(
             s["step_dl"],
-            jnp.where(move, dl, 0).astype(jnp.int8)[:, None],
-            (jnp.int32(0), it),
+            jnp.where(move, dl, 0).astype(jnp.int8)[None, :],
+            (it, jnp.int32(0)),
         )
         step_dist = jax.lax.dynamic_update_slice(
             s["step_dist"],
-            jnp.where(move, distance, 0).astype(jnp.int16)[:, None],
-            (jnp.int32(0), it),
+            jnp.where(move, distance, 0).astype(jnp.int16)[None, :],
+            (it, jnp.int32(0)),
         )
 
         new_lane = jnp.where(move, bl_lane, cur_lane)
@@ -343,8 +344,8 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     # slot 2t+1 : merged match-or-mismatch 'M' run
     # empty slots carry run 0 and are skipped at decode.
     T = cfg.steps_bound
-    sdl = s["step_dl"].astype(jnp.int32)  # [B, T]
-    sdist = s["step_dist"].astype(jnp.int32)
+    sdl = s["step_dl"].T.astype(jnp.int32)  # [B, T]
+    sdist = s["step_dist"].T.astype(jnp.int32)
     ops_even = jnp.where(sdl < 0, OP_I, OP_D).astype(jnp.int8)
     runs_even = jnp.abs(sdl)
     ops_odd = jnp.full((B, T), OP_M, jnp.int8)

@@ -1,0 +1,463 @@
+"""Fused Pallas TPU kernel for the GASMA greedy hurdle-matrix aligner.
+
+Same semantics as asm_tpu.kernels.greedy.greedy_align (which remains the
+portable XLA reference path and the conformance anchor); this kernel fuses
+the ENTIRE per-pair pipeline — hurdle-row construction, morphological
+denoise, bit-packing, and the greedy highway loop — into one VMEM-resident
+pass, eliminating all HBM traffic between steps.
+
+Layout: pair-per-lane ("one VPU lane owns one pair", the batched analogue
+of the reference's one-SIMD-register-per-pair). A grid step processes a
+tile of 1024 pairs shaped [8, 128] (sublanes x lanes); every per-pair
+scalar is an [8, 128] int32 array, every hurdle-lane word an [8, 128]
+uint32 array (NL lanes x 4 words per pair, unrolled statically). All
+first_zero / first_one / popcount queries are ctz/popcount word math
+(lax.population_count — native on the VPU).
+
+Each tile's while_loop exits when ITS OWN 1024 pairs are done, so the
+worst-case step count is a per-tile max, not a global-batch max.
+
+Inputs arrive pre-transposed as [L, NB, 128] int32 code planes (position-
+major) so the kernel reads position rows directly; the CIGAR step records
+leave as one packed int32 per step (dl in the low 16 bits, advance in the
+high 16) and are expanded to the standard (op, run) slot buffers in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from asm_tpu.config import AlignConfig, AlignmentType
+
+OP_M = 5
+OP_I = 3
+OP_D = 4
+
+_TILE = 1024  # pairs per grid step: [8, 128]
+FULL = 0xFFFFFFFF
+
+
+def _ctz32(w):
+    low = w & (~w + jnp.uint32(1))
+    return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
+
+
+def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
+                   cost_ref, steps_ref, rec_ref, st_ref, lane_ref):
+    k = cfg.k
+    NL = cfg.num_lanes
+    L = cfg.max_len
+    W = L // 32
+    x, o, e = cfg.x, cfg.o, cfg.e
+    is_global = cfg.alignment_type == AlignmentType.GLOBAL
+    match_sig, mismatch_sig, indel_sig = cfg.significance
+    T = cfg.steps_bound
+
+    m = jnp.minimum(rl_ref[...], L)
+    n = jnp.minimum(fl_ref[...], L)
+    shape = m.shape  # [8, 128]
+
+    def cget(ref, p):
+        # position row p of a code plane; out-of-range rows read as a
+        # sentinel that mismatches everything (the PAD_SHIFT semantics)
+        if p < L:
+            return ref[p]
+        return jnp.full(shape, 6, jnp.int32)
+
+    # ---- build hurdle rows: shifted compare, packed 32 bits per word ----
+    orig = []  # [NL][W] uint32 [8,128]
+    for lane in range(-k, k + 1):
+        a_off = max(-lane, 0)
+        b_off = max(lane, 0)
+        words = []
+        for w in range(W):
+            acc = jnp.zeros(shape, jnp.uint32)
+            for b in range(32):
+                p = 32 * w + b
+                diff = cget(rc_ref, p + a_off) != cget(fc_ref, p + b_off)
+                acc = acc | (diff.astype(jnp.uint32) << b)
+            words.append(acc)
+        orig.append(words)
+
+    # ---- denoise: flip_short_hurdles(1) -> den; highways = ~den ----
+    if cfg.flip_threshold != 1:
+        raise NotImplementedError(
+            "pallas greedy supports flip_threshold=1 (the reference's "
+            "value); use the XLA path otherwise"
+        )
+    den = []
+    for li in range(NL):
+        h = orig[li]
+        words = []
+        for w in range(W):
+            lo_prev = h[w - 1] >> 31 if w > 0 else jnp.zeros(shape, jnp.uint32)
+            hi_next = h[w + 1] << 31 if w < W - 1 else jnp.zeros(shape, jnp.uint32)
+            near = ((h[w] << 1) | lo_prev) | ((h[w] >> 1) | hi_next)
+            words.append(h[w] & near)
+        den.append(words)
+
+    # ---- packed-word queries -------------------------------------------
+    def mask_ge(c, w):
+        low = jnp.clip(c - 32 * w, 0, 32)
+        msk = jnp.uint32(FULL) << jnp.minimum(low, 31).astype(jnp.uint32)
+        return jnp.where(low >= 32, jnp.uint32(0), msk)
+
+    def first_set_from(words, c, invert=False):
+        best = jnp.full(shape, L, jnp.int32)
+        for w in range(W):
+            row = ~words[w] if invert else words[w]
+            masked = row & mask_ge(c, w)
+            idx = 32 * w + _ctz32(masked)
+            idx = jnp.where(masked == 0, L, idx)
+            best = jnp.minimum(best, idx)
+        return best
+
+    def count_range(words, lo, hi):
+        cnt = jnp.zeros(shape, jnp.int32)
+        for w in range(W):
+            msk = mask_ge(lo, w) & ~mask_ge(hi, w)
+            cnt = cnt + jax.lax.population_count(words[w] & msk).astype(
+                jnp.int32
+            )
+        return cnt
+
+    def sfc(l1, l2):  # switch_forward_column
+        a1, a2 = jnp.abs(l1), jnp.abs(l2)
+        return jnp.where(l1 * l2 >= 0, jnp.maximum(a1 - a2, 0), a1)
+
+    def slp(l1, l2):  # switch_lane_penalty
+        d = jnp.abs(l1 - l2)
+        return jnp.where(d == 0, 0, o + e * (d - 1))
+
+    # ---- per-lane destinations (lane_destination) ----------------------
+    dest = []
+    ge = m >= n
+    for lane in range(-k, k + 1):
+        # `lane` is a Python static: branch at trace time
+        if lane > 0:
+            dest_ge = n - lane
+        else:
+            dest_ge = jnp.where(lane >= n - m, n, m + lane)
+        if lane < 0:
+            dest_lt = m + lane
+        else:
+            dest_lt = jnp.where(lane <= n - m, m, n - lane)
+        dest.append(jnp.where(ge, dest_ge, dest_lt))
+    dest_lane = n - m
+    in_band = jnp.abs(dest_lane) <= k
+
+    # zero the record buffer (unwritten rows must decode to empty slots)
+    rec_ref[...] = jnp.zeros((T + 1,) + shape, jnp.int32)
+
+    zero = jnp.zeros(shape, jnp.int32)
+
+    # All vector loop state lives in VMEM scratch (st_ref rows + lane_ref
+    # planes); the while carry is ONLY the scalar iteration counter —
+    # Mosaic's layout inference mis-handles some vector while-carries
+    # ("invalid relayout: replicated destination"), scratch refs dodge it.
+    # st_ref rows: 0 cur_lane, 1 cur_col, 2 cost, 3 done, 4 steps
+    # lane_ref planes: [0, NL) sp, [NL, 2NL) hlen, [2NL, 3NL) nsw
+    st_ref[0] = zero
+    st_ref[1] = zero
+    st_ref[2] = zero
+    st_ref[3] = zero
+    st_ref[4] = zero
+    for li in range(NL):
+        lane_ref[li] = zero - 1            # sp = -1
+        lane_ref[NL + li] = zero           # hlen = 0
+        lane_ref[2 * NL + li] = zero + L   # nsw = L
+
+    def cond(it):
+        pending = jnp.sum(1 - st_ref[3])
+        return (it < T) & (pending > 0)
+
+    def body(it):
+        cur_lane = st_ref[0]
+        cur_col = st_ref[1]
+        cost = st_ref[2]
+        done = st_ref[3] != 0
+        steps = st_ref[4]
+        sp = [lane_ref[li] for li in range(NL)]
+        hlen = [lane_ref[NL + li] for li in range(NL)]
+        nsw = [lane_ref[2 * NL + li] for li in range(NL)]
+        act = ~done
+
+        # ---- _update_highway_list ----
+        start_col, recomp = [], []
+        sp_n, hlen_n, nsw_n = list(sp), list(hlen), list(nsw)
+        reaching = jnp.zeros(shape, jnp.bool_)
+        for li in range(NL):
+            lane = li - k
+            sc = cur_col + sfc(cur_lane, lane)
+            rc_ = (sp[li] < sc) & act
+            fz = first_set_from(den[li], sc, invert=True)
+            sp_new = jnp.where(sc > L, sc, fz)
+            no_g = first_set_from(den[li], sp_new)
+            raw_len = jnp.where((sp_new >= L) | (no_g >= L), L, no_g - sp_new)
+            clamp = sp_new + raw_len > dest[li]
+            len_new = jnp.where(
+                clamp, jnp.maximum(dest[li] - sp_new, 0), raw_len
+            )
+            sp_n[li] = jnp.where(rc_, sp_new, sp[li])
+            hlen_n[li] = jnp.where(rc_, len_new, hlen[li])
+            nsw_n[li] = jnp.where(rc_, jnp.abs(lane - cur_lane), nsw[li])
+            reaching = reaching | (rc_ & clamp)
+            start_col.append(sc)
+            recomp.append(rc_)
+
+        swc, hc, nhur = [], [], []
+        for li in range(NL):
+            lane = li - k
+            if is_global:
+                sc_pen = slp(cur_lane, lane)
+            else:
+                sc_pen = jnp.where(it == 0, 0, slp(cur_lane, lane))
+            nh = count_range(orig[li], start_col[li], sp_n[li] + hlen_n[li])
+            swc.append(sc_pen)
+            nhur.append(nh)
+            hc.append(x * nh)
+
+        # ---- selection scan (sequential arg-max replay) ----
+        best_h = jnp.full(shape, -jnp.inf, jnp.float32)
+        best_lh = jnp.full(shape, -(2.0**31), jnp.float32)
+        best_li = zero
+        for li in range(NL):
+            lane = li - k
+            sig = (
+                match_sig * hlen_n[li].astype(jnp.float32)
+                + mismatch_sig * nhur[li].astype(jnp.float32)
+                + indel_sig * nsw_n[li].astype(jnp.float32)
+            )
+            cur_cost = -(swc[li] + hc[li])
+            fsc = slp(lane, dest_lane) if is_global else zero
+            h_reach = (
+                cur_cost - fsc - x * (dest[li] - sp_n[li] - hlen_n[li])
+            ).astype(jnp.float32)
+            h = jnp.where(reaching, h_reach, sig)
+            lh = (-swc[li] - jnp.where(reaching, fsc, 0)).astype(jnp.float32)
+            better = (h > best_h) | ((h == best_h) & (lh > best_lh))
+            best_h = jnp.where(better, h, best_h)
+            best_lh = jnp.where(better, lh, best_lh)
+            best_li = jnp.where(better, li, best_li)
+
+        def pick(vals):
+            out = vals[0]
+            for li in range(1, NL):
+                out = jnp.where(best_li == li, vals[li], out)
+            return out
+
+        best_len = pick(hlen_n)
+        valid = best_len > 0
+
+        # ---- _choose_best_highway ----
+        best_lane_v = best_li - k
+        sp_b = pick(sp_n)
+        swc_b = pick(swc)
+        hc_b = pick(hc)
+        row_b = []
+        for w in range(W):
+            rw = orig[0][w]
+            for li in range(1, NL):
+                rw = jnp.where(best_li == li, orig[li][w], rw)
+            row_b.append(rw)
+
+        stc = swc_b + hc_b
+        sic = stc
+        bil = best_li
+        for li in range(NL):
+            lane = li - k
+            fwd_lb = sfc(lane, best_lane_v)
+            skip = (best_li == li) | (sp_n[li] + fwd_lb > sp_b)
+            ep = sp_n[li] + hlen_n[li]
+            # NOTE raw popcount (no x) — hurdle_matrix.h:389
+            ic = swc[li] + count_range(
+                orig[li], cur_col + sfc(cur_lane, lane), ep
+            )
+            cross = count_range(row_b, fwd_lb + ep, sp_b)
+            tc = ic + slp(lane, best_lane_v) + jnp.maximum(0, x * cross)
+            upd = ~skip & (tc <= stc) & (ic <= sic)
+            stc = jnp.where(upd, tc, stc)
+            sic = jnp.where(upd, ic, sic)
+            bil = jnp.where(upd, li, bil)
+
+        def pick2(vals):
+            out = vals[0]
+            for li in range(1, NL):
+                out = jnp.where(bil == li, vals[li], out)
+            return out
+
+        bl_lane = bil - k
+        sp_c = pick2(sp_n)
+        len_c = pick2(hlen_n)
+        swc_c = pick2(swc)
+        hc_c = pick2(hc)
+        move = act & valid
+
+        cost = cost + jnp.where(move, swc_c + hc_c, 0)
+        distance = sp_c + len_c - (cur_col + sfc(cur_lane, bl_lane))
+
+        dl = bl_lane - cur_lane
+        packed = (jnp.where(move, dl, 0) & 0xFFFF) | (
+            jnp.where(move, distance, 0) << 16
+        )
+        rec_ref[pl.ds(it, 1)] = packed[None]
+
+        new_lane = jnp.where(move, bl_lane, cur_lane)
+        new_col = jnp.where(move, sp_c + len_c, cur_col)
+        dest_new = zero
+        for li in range(NL):
+            dest_new = jnp.where(new_lane + k == li, dest[li], dest_new)
+        done = done | (act & ~valid) | (move & (new_col >= dest_new))
+
+        st_ref[0] = new_lane
+        st_ref[1] = new_col
+        st_ref[2] = cost
+        st_ref[3] = done.astype(jnp.int32)
+        st_ref[4] = steps + move.astype(jnp.int32)
+        for li in range(NL):
+            lane_ref[li] = sp_n[li]
+            lane_ref[NL + li] = hlen_n[li]
+            lane_ref[2 * NL + li] = nsw_n[li]
+        return it + 1
+
+    it = jax.lax.while_loop(cond, body, jnp.int32(0))
+    cur_lane = st_ref[0]
+    cur_col = st_ref[1]
+    cost = st_ref[2]
+    steps = st_ref[4]
+
+    # ---- final leap (run(), hurdle_matrix.h:574-590) ----
+    dl_c = jnp.clip(dest_lane, -k, k)
+    dest_col = zero
+    row_dl = [jnp.zeros(shape, jnp.uint32) for _ in range(W)]
+    for li in range(NL):
+        sel = dl_c + k == li
+        dest_col = jnp.where(sel, dest[li], dest_col)
+        for w in range(W):
+            row_dl[w] = jnp.where(sel, orig[li][w], row_dl[w])
+    lo = cur_col + sfc(cur_lane, dest_lane)
+    distance = count_range(row_dl, lo, dest_col)
+    distance = jnp.where(in_band, distance, 0)
+    # logical form (a bool-valued where trips Mosaic's i8->i1 truncation)
+    moved_off = cur_lane != dest_lane
+    needs = (in_band & (moved_off | (cur_col < dest_col))) | (
+        ~in_band & moved_off
+    )
+    sc_pen = slp(cur_lane, dest_lane) if is_global else zero
+    cost = cost + jnp.where(needs, sc_pen + jnp.maximum(0, x * distance), 0)
+
+    dl = dest_lane - cur_lane
+    packed = (jnp.where(needs, dl, 0) & 0xFFFF) | (
+        jnp.where(needs & (distance > 0), distance, 0) << 16
+    )
+    rec_ref[pl.ds(it, 1)] = packed[None]
+
+    cost_ref[...] = cost
+    steps_ref[...] = steps
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "want_cigar")
+)
+def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
+                        cfg: AlignConfig, interpret: bool = False,
+                        want_cigar: bool = True):
+    """Drop-in replacement for greedy_align with identical outputs
+    (cost / cigar_ops / cigar_runs / cigar_count / steps).
+
+    Pads the batch to a multiple of 1024 internally.
+
+    want_cigar=False skips the XLA-side expansion of the packed step
+    records into (op, run) slot buffers and returns only cost / steps /
+    the raw packed records (`step_rec` int32[T+1, B]) — the kernel always
+    emits the full RLE record stream (like the reference always appends
+    its CIGAR string), but expanding it to slot buffers costs more HBM
+    traffic than the alignment itself at large batches.
+    """
+    B, L = read_codes.shape
+    assert L == cfg.max_len and L % 32 == 0
+    T = cfg.steps_bound
+
+    pad = (-B) % _TILE
+    BP = B + pad
+    if pad:
+        zero_c = jnp.zeros((pad, L), read_codes.dtype)
+        zero_l = jnp.zeros((pad,), jnp.int32)
+        read_codes = jnp.concatenate([read_codes, zero_c])
+        ref_codes = jnp.concatenate([ref_codes, zero_c])
+        read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
+        ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
+
+    NB = BP // 128
+    # position-major int32 code planes [L, NB, 128]
+    rc_t = read_codes.astype(jnp.int32).T.reshape(L, NB, 128)
+    fc_t = ref_codes.astype(jnp.int32).T.reshape(L, NB, 128)
+    rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
+    fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
+
+    grid = (NB // 8,)
+    kernel = functools.partial(_greedy_kernel, cfg)
+    cost, steps, rec = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T + 1, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((T + 1, NB, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, 8, 128), jnp.int32),               # st_ref
+            pltpu.VMEM((3 * cfg.num_lanes, 8, 128), jnp.int32),  # lane_ref
+        ],
+        interpret=interpret,
+    )(rc_t, fc_t, rl_t, fl_t)
+
+    cost = cost.reshape(BP)[:B]
+    steps = steps.reshape(BP)[:B]
+    rec = rec.reshape(T + 1, BP)[:, :B]  # [T+1, B]
+
+    if not want_cigar:
+        return dict(cost=cost, steps=steps, step_rec=rec)
+
+    # ---- expand packed records to (op, run) slot buffers (as greedy.py) --
+    sdl = (rec.astype(jnp.int32) << 16) >> 16  # sign-extended low half
+    sdist = rec >> 16
+    sdl_t = sdl.T  # [B, T+1]
+    sdist_t = sdist.T
+    ops_even = jnp.where(sdl_t < 0, OP_I, OP_D).astype(jnp.int8)
+    runs_even = jnp.abs(sdl_t)
+    ops_odd = jnp.full((B, T + 1), OP_M, jnp.int8)
+    runs_odd = sdist_t
+    ops_ = jnp.stack([ops_even, ops_odd], axis=2).reshape(B, 2 * (T + 1))
+    runs_ = jnp.stack([runs_even, runs_odd], axis=2).reshape(B, 2 * (T + 1))
+
+    return dict(
+        cost=cost,
+        cigar_ops=ops_,
+        cigar_runs=runs_,
+        cigar_count=jnp.sum(runs_ > 0, axis=1, dtype=jnp.int32),
+        steps=steps,
+    )

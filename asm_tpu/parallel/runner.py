@@ -100,15 +100,31 @@ def make_sharded_pipeline(mesh, cfg: AlignConfig):
     return jax.jit(fn)
 
 
-def make_sharded_greedy(mesh, cfg: AlignConfig):
+def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
+                        want_cigar: bool = False):
     """jit'd sharded greedy-only step: returns the greedy result dict with
     every leaf sharded on the batch axis (the pure-throughput path used by
-    the flagship benchmark)."""
+    the flagship benchmark).
+
+    impl: "xla" (portable lax kernel) or "pallas" (fused VMEM-resident
+    TPU kernel, asm_tpu.kernels.greedy_pallas — ~8x faster on chip).
+    want_cigar=False (pallas only) skips the (op, run) slot expansion and
+    returns compact packed step records instead.
+    """
     axis = mesh.axis_names[0]
     b = P(axis)
 
-    def shard_fn(read_codes, read_len, ref_codes, ref_len):
-        return greedy_align(read_codes, read_len, ref_codes, ref_len, cfg)
+    if impl == "pallas":
+        from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
+
+        def shard_fn(read_codes, read_len, ref_codes, ref_len):
+            return greedy_align_pallas(
+                read_codes, read_len, ref_codes, ref_len, cfg,
+                want_cigar=want_cigar,
+            )
+    else:
+        def shard_fn(read_codes, read_len, ref_codes, ref_len):
+            return greedy_align(read_codes, read_len, ref_codes, ref_len, cfg)
 
     fn = shard_map(
         shard_fn,

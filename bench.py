@@ -36,9 +36,10 @@ BASELINE_ALIGNS_PER_SEC = 1_000_000 / 0.85
 
 
 def main():
-    n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 20))
-    # one big batch wins: per-iteration fixed costs amortize with B
-    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 20))
+    n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 22))
+    # one big batch wins: per-call fixed costs amortize with B
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 22))
+    impl = os.environ.get("BENCH_IMPL", "pallas")
     err = float(os.environ.get("BENCH_ERR", 0.05))
     reps = int(os.environ.get("BENCH_REPS", 3))
     cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128)
@@ -65,7 +66,7 @@ def main():
     )
 
     mesh = make_mesh()
-    step = make_sharded_greedy(mesh, cfg)
+    step = make_sharded_greedy(mesh, cfg, impl=impl)
 
     # stage chunks on device (outside the timed region)
     chunks = []

@@ -1,0 +1,58 @@
+"""Pallas greedy kernel conformance vs the XLA reference path.
+
+Runs in Pallas interpret mode on the CPU backend — bit-identical outputs
+are required (the pallas kernel replays exactly the same float32
+heuristics and integer queries as asm_tpu.kernels.greedy)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from asm_tpu.config import AlignConfig, AlignmentType
+from asm_tpu.data.generator import generate_dataset_arrays
+from asm_tpu.kernels.greedy import greedy_align
+from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
+from asm_tpu.ops.cigar import batch_greedy_cigars
+
+
+def _compare(corpus, cfg):
+    a = [jnp.asarray(v) for v in corpus]
+    ref = greedy_align(*a, cfg)
+    got = greedy_align_pallas(*a, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["cost"]),
+                                  np.asarray(ref["cost"]))
+    np.testing.assert_array_equal(np.asarray(got["steps"]),
+                                  np.asarray(ref["steps"]))
+    assert batch_greedy_cigars(got) == batch_greedy_cigars(ref)
+
+
+@pytest.mark.parametrize("err,mr", [(0.05, 0.96), (0.2, 0.96), (0.4, 0.5)])
+def test_pallas_matches_xla(err, mr):
+    cfg = AlignConfig(max_steps=24)
+    corpus = generate_dataset_arrays(48, 100, err, mr, seed=int(err * 100))
+    _compare(corpus, cfg)
+
+
+def test_pallas_other_penalties():
+    cfg = AlignConfig(x=2, o=3, e=1, k=2, max_steps=24)
+    corpus = generate_dataset_arrays(32, 80, 0.1, 0.8, seed=5)
+    _compare(corpus, cfg)
+
+
+def test_pallas_want_cigar_false():
+    cfg = AlignConfig(max_steps=24)
+    corpus = generate_dataset_arrays(16, 100, 0.1, seed=9)
+    a = [jnp.asarray(v) for v in corpus]
+    ref = greedy_align(*a, cfg)
+    got = greedy_align_pallas(*a, cfg, interpret=True, want_cigar=False)
+    np.testing.assert_array_equal(np.asarray(got["cost"]),
+                                  np.asarray(ref["cost"]))
+    assert "cigar_ops" not in got and "step_rec" in got
+
+
+def test_pallas_rejects_unsupported_flip_threshold():
+    cfg = AlignConfig(flip_threshold=2, max_steps=8)
+    corpus = generate_dataset_arrays(8, 50, 0.1, seed=1)
+    a = [jnp.asarray(v) for v in corpus]
+    with pytest.raises(NotImplementedError):
+        greedy_align_pallas(*a, cfg, interpret=True)
