@@ -38,6 +38,8 @@ def main():
     p.add_argument("--coverage-sample", type=int, default=20000)
     p.add_argument("--no-coverage", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--impl", choices=("xla", "pallas"), default="xla",
+                   help="greedy/LEAP kernel implementation")
     args = p.parse_args()
 
     cfg = AlignConfig(
@@ -67,6 +69,7 @@ def main():
             chunk=args.chunk,
             coverage_sample=0 if args.no_coverage else args.coverage_sample,
             want_coverage=not args.no_coverage,
+            impl=args.impl,
         )
         print(format_report(r))
 

@@ -70,13 +70,15 @@ def run_benchmark(
     coverage_sample: int = 20000,
     want_coverage: bool = True,
     progress=None,
+    impl: str = "xla",
 ) -> BenchmarkResult:
     """Run the three-way benchmark over an encoded corpus.
 
     Args mirror the kernels' batch layout (int8 codes + int32 lengths).
     `chunk` bounds per-launch batch size; `coverage_sample` caps how many
     pairs get the host-side CIGAR coverage check (0/want_coverage=False
-    disables it).
+    disables it). impl="pallas" uses the fused TPU kernels for greedy and
+    LEAP (NW stays on the XLA wavefront).
     """
     cfg = cfg or AlignConfig()
     B = read_codes.shape[0]
@@ -85,8 +87,16 @@ def run_benchmark(
     nw_fn = jax.jit(
         functools.partial(nw_penalty, x=cfg.x, o=cfg.o, e=cfg.e)
     )
-    greedy_fn = jax.jit(functools.partial(greedy_align, cfg=cfg))
-    leap_fn = jax.jit(functools.partial(leap_align, cfg=cfg))
+    if impl == "pallas":
+        from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
+        from asm_tpu.kernels.leap_pallas import leap_align_pallas
+
+        greedy_fn = jax.jit(functools.partial(
+            greedy_align_pallas, cfg=cfg, want_cigar=False))
+        leap_fn = jax.jit(functools.partial(leap_align_pallas, cfg=cfg))
+    else:
+        greedy_fn = jax.jit(functools.partial(greedy_align, cfg=cfg))
+        leap_fn = jax.jit(functools.partial(leap_align, cfg=cfg))
 
     slices = [slice(i, min(i + chunk, B)) for i in range(0, B, chunk)]
     # pad the tail chunk to the full chunk size (one compile for all)
@@ -139,6 +149,8 @@ def run_benchmark(
         a_fn = jax.jit(
             functools.partial(nw_align, x=cfg.x, o=cfg.o, e=cfg.e)
         )
+        # coverage needs CIGARs: always use the XLA greedy path here
+        greedy_fn = jax.jit(functools.partial(greedy_align, cfg=cfg))
         for i in range(0, checked, align_chunk):
             j = min(i + align_chunk, checked)
             rc, rl = read_codes[i:j], read_len[i:j]

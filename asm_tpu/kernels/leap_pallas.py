@@ -1,0 +1,299 @@
+"""Fused Pallas TPU kernel for LEAP / Landau-Vishkin banded alignment.
+
+Same semantics as asm_tpu.kernels.leap.leap_align (the portable XLA path,
+which also remains the only path for want_history/backtracking); this
+kernel fuses hurdle-lane construction, bit-packing, and the energy
+wavefront into one VMEM-resident pass.
+
+Layout mirrors greedy_pallas: pair-per-lane [8, 128] tiles (1024 pairs per
+grid step), TL = 2k+3 diagonal lanes unrolled statically, lane rows as
+W = L/32 uint32 words, the hot count_ID_length query (LV_BAG.cpp:9-23) as
+ctz word math. The e-level ring history (end/I_pos/D_pos rows for the last
+R = max(go,ge,ms)+1 energy levels) lives in VMEM scratch, dynamically
+indexed by e % R; the while carry is the scalar energy level only (Mosaic
+mis-lays-out vector while-carries — see greedy_pallas).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from asm_tpu.config import AlignConfig, LeapMode
+
+_TILE = 1024
+UNREACHED = -2
+BIG = 1 << 29
+
+
+def _ctz32(w):
+    low = w & (~w + jnp.uint32(1))
+    return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
+
+
+def _leap_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
+                 passed_ref, pen_ref, lane_ref_out, hist_ref, st_ref):
+    k = cfg.k
+    TL = cfg.leap_total_lanes
+    mid = k + 1
+    L = cfg.max_len
+    W = L // 32
+    ms, go, ge = cfg.x, cfg.o, cfg.e
+    af = cfg.leap_af_threshold
+    mode = cfg.leap_mode
+    R = max(go, ge, ms) + 1
+
+    m = jnp.minimum(rl_ref[...], L)
+    n = jnp.minimum(fl_ref[...], L)
+    shape = m.shape
+    buflen = jnp.maximum(m, n)  # benchmark_utils.h:162
+
+    def cget(ref, p):
+        if 0 <= p < L:
+            return ref[p]
+        return jnp.full(shape, 6, jnp.int32)
+
+    # ---- hurdle rows per lane (build_leap_lanes semantics) ----
+    # lane l < mid: A[pos-(mid-l)] vs B[pos]; l > mid: A[pos] vs B[pos-(l-mid)]
+    # out-of-range (pos < offset) and border lanes are all-hurdles.
+    lanes = []
+    for l in range(TL):
+        if l == 0 or l == TL - 1:
+            lanes.append([jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
+                          for _ in range(W)])
+            continue
+        a_off = max(mid - l, 0)
+        b_off = max(l - mid, 0)
+        words = []
+        for w in range(W):
+            acc = jnp.zeros(shape, jnp.uint32)
+            for b in range(32):
+                p = 32 * w + b
+                diff = cget(rc_ref, p - a_off) != cget(fc_ref, p - b_off)
+                acc = acc | (diff.astype(jnp.uint32) << b)
+            words.append(acc)
+        lanes.append(words)
+
+    def mask_ge(c, w):
+        low = jnp.clip(c - 32 * w, 0, 32)
+        msk = jnp.uint32(0xFFFFFFFF) << jnp.minimum(low, 31).astype(jnp.uint32)
+        return jnp.where(low >= 32, jnp.uint32(0), msk)
+
+    def count_id(l, start):
+        """LV_BAG.cpp:9-23: match-run end from `start` on lane l."""
+        c = jnp.maximum(start, 0)
+        first = jnp.full(shape, L, jnp.int32)
+        for w in range(W):
+            masked = lanes[l][w] & mask_ge(c, w)
+            idx = 32 * w + _ctz32(masked)
+            first = jnp.minimum(first, jnp.where(masked == 0, L, idx))
+        run_end = jnp.minimum(first, buflen)
+        return jnp.where(start >= buflen, start, run_end)
+
+    # hist_ref layout: [3, R, TL] planes of [8,128]: 0 end, 1 i_pos, 2 d_pos
+    def hrow(kind, r, l):
+        return hist_ref[kind, r, l]
+
+    zero = jnp.zeros(shape, jnp.int32)
+    unreached = zero + UNREACHED
+
+    # ---- e = 0 row (LV::init + first run step) ----
+    for l in range(TL):
+        interior = 1 <= l <= TL - 2
+        ld = abs(l - mid)
+        if not interior:
+            start0 = unreached
+        elif mode in (LeapMode.LOCAL, LeapMode.SEMI_FREE_BEGIN):
+            start0 = zero + ld
+        else:
+            start0 = (zero if ld == 0 else unreached)
+        end0 = jnp.where(start0 >= 0, count_id(l, start0), UNREACHED)
+        hist_ref[0, 0, l] = end0
+        hist_ref[1, 0, l] = unreached
+        hist_ref[2, 0, l] = unreached
+
+    # st_ref rows: 0 passed, 1 final_ed, 2 final_lane
+    conv_any = zero
+    first_lane = zero + mid
+    found = zero
+    for l in range(1, TL - 1):
+        end0 = hist_ref[0, 0, l]
+        c = (end0 == buflen) & (end0 >= 0)
+        # first converged lane wins at e=0 (argmax semantics)
+        first_lane = jnp.where((found == 0) & c, l, first_lane)
+        found = jnp.where(c, 1, found)
+        conv_any = conv_any | c.astype(jnp.int32)
+    st_ref[0] = conv_any
+    st_ref[1] = jnp.where(conv_any != 0, 0, af + 1)
+    st_ref[2] = jnp.where(conv_any != 0, first_lane, mid)
+
+    def cond(e):
+        pending = jnp.sum(1 - st_ref[0])
+        return (e <= af) & (pending > 0)
+
+    def body(e):
+        passed = st_ref[0] != 0
+        act = ~passed
+
+        r_go = (e - go) % R
+        r_ge = (e - ge) % R
+        r_ms = (e - ms) % R
+        ok_go = e >= go
+        ok_ge = e >= ge
+        ok_ms = e >= ms
+
+        # read previous rows (lane-shifted accesses are static unrolls)
+        end_go = [hist_ref[0, r_go, l] for l in range(TL)]
+        i_ge = [hist_ref[1, r_ge, l] for l in range(TL)]
+        d_ge = [hist_ref[2, r_ge, l] for l in range(TL)]
+        end_ms = [hist_ref[0, r_ms, l] for l in range(TL)]
+
+        new_end, new_i, new_d = [], [], []
+        conv = []
+        for l in range(TL):
+            if l == 0 or l == TL - 1:
+                new_end.append(unreached)
+                new_i.append(unreached)
+                new_d.append(unreached)
+                conv.append(zero != 0)
+                continue
+            top = 1 if l >= mid else 0
+            bot = 1 if l <= mid else 0
+            end_up = jnp.where(ok_go, end_go[l - 1], UNREACHED)
+            i_up = jnp.where(ok_ge, i_ge[l - 1], UNREACHED)
+            i_new = jnp.where(
+                (end_up >= 0) & (end_up > i_up),
+                end_up + top,
+                jnp.where(i_up >= 0, i_up + top, UNREACHED),
+            )
+            end_dn = jnp.where(ok_go, end_go[l + 1], UNREACHED)
+            d_dn = jnp.where(ok_ge, d_ge[l + 1], UNREACHED)
+            d_new = jnp.where(
+                (end_dn >= 0) & (end_dn > d_dn),
+                end_dn + bot,
+                jnp.where(d_dn >= 0, d_dn + bot, UNREACHED),
+            )
+            s_ms = jnp.where(ok_ms & (end_ms[l] >= 0), end_ms[l] + 1,
+                             UNREACHED)
+            start_new = jnp.maximum(s_ms, jnp.maximum(i_new, d_new))
+            end_new = jnp.where(
+                start_new >= 0, count_id(l, start_new), UNREACHED
+            )
+            new_end.append(end_new)
+            new_i.append(i_new)
+            new_d.append(d_new)
+            conv.append((end_new == buflen) & (start_new >= 0))
+
+        if mode in (LeapMode.GLOBAL, LeapMode.SEMI_FREE_BEGIN):
+            tmin = zero + BIG
+            lane_now = zero
+            for l in range(1, TL - 1):
+                ld = abs(l - mid)
+                t = e + (0 if ld == 0 else go + (ld - 1) * ge)
+                tt = jnp.where(conv[l] & (t <= af), t, BIG)
+                better = tt < tmin
+                tmin = jnp.where(better, tt, tmin)
+                lane_now = jnp.where(better, l, lane_now)
+            pass_now = tmin < BIG
+        else:
+            pass_now = zero != 0
+            lane_now = zero
+            for l in range(1, TL - 1):  # LAST converged lane wins
+                pass_now = pass_now | conv[l]
+                lane_now = jnp.where(conv[l], l, lane_now)
+
+        fresh = pass_now & act
+        st_ref[0] = (passed | pass_now).astype(jnp.int32)
+        st_ref[1] = jnp.where(fresh, e, st_ref[1])
+        st_ref[2] = jnp.where(fresh, lane_now, st_ref[2])
+
+        # freeze history of already-passed pairs
+        r = e % R
+        for l in range(TL):
+            old_e = hist_ref[0, r, l]
+            old_i = hist_ref[1, r, l]
+            old_d = hist_ref[2, r, l]
+            hist_ref[0, r, l] = jnp.where(act, new_end[l], old_e)
+            hist_ref[1, r, l] = jnp.where(act, new_i[l], old_i)
+            hist_ref[2, r, l] = jnp.where(act, new_d[l], old_d)
+        return e + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(1))
+
+    passed_ref[...] = st_ref[0]
+    pen_ref[...] = st_ref[1]
+    lane_ref_out[...] = st_ref[2] - mid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
+                      cfg: AlignConfig, interpret: bool = False):
+    """Drop-in replacement for leap_align (passed / penalty / lane_shift).
+
+    History/backtracking mode is NOT supported here — use the XLA path
+    (leap_align(..., want_history=True)) for CIGARs.
+    """
+    B, L = read_codes.shape
+    assert L == cfg.max_len and L % 32 == 0
+    TL = cfg.leap_total_lanes
+    R = max(cfg.o, cfg.e, cfg.x) + 1
+
+    pad = (-B) % _TILE
+    BP = B + pad
+    if pad:
+        zero_c = jnp.zeros((pad, L), read_codes.dtype)
+        zero_l = jnp.zeros((pad,), jnp.int32)
+        read_codes = jnp.concatenate([read_codes, zero_c])
+        ref_codes = jnp.concatenate([ref_codes, zero_c])
+        read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
+        ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
+
+    NB = BP // 128
+    rc_t = read_codes.astype(jnp.int32).T.reshape(L, NB, 128)
+    fc_t = ref_codes.astype(jnp.int32).T.reshape(L, NB, 128)
+    rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
+    fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
+
+    kernel = functools.partial(_leap_kernel, cfg)
+    passed, pen, shift = pl.pallas_call(
+        kernel,
+        grid=(NB // 8,),
+        in_specs=[
+            pl.BlockSpec((L, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, R, TL, 8, 128), jnp.int32),  # hist_ref
+            pltpu.VMEM((3, 8, 128), jnp.int32),         # st_ref
+        ],
+        interpret=interpret,
+    )(rc_t, fc_t, rl_t, fl_t)
+
+    return dict(
+        passed=passed.reshape(BP)[:B] != 0,
+        penalty=pen.reshape(BP)[:B],
+        lane_shift=shift.reshape(BP)[:B],
+    )

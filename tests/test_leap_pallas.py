@@ -1,0 +1,42 @@
+"""Pallas LEAP kernel conformance vs the XLA reference path (interpret)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from asm_tpu.config import AlignConfig, LeapMode
+from asm_tpu.data.generator import generate_dataset_arrays
+from asm_tpu.kernels.leap import leap_align
+from asm_tpu.kernels.leap_pallas import leap_align_pallas
+
+
+def _compare(corpus, cfg):
+    a = [jnp.asarray(v) for v in corpus]
+    ref = leap_align(*a, cfg)
+    got = leap_align_pallas(*a, cfg, interpret=True)
+    for key in ("passed", "penalty", "lane_shift"):
+        np.testing.assert_array_equal(
+            np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+        )
+
+
+@pytest.mark.parametrize("err", [0.05, 0.2])
+def test_leap_pallas_matches_xla(err):
+    cfg = AlignConfig(leap_af_threshold=60)
+    _compare(generate_dataset_arrays(48, 100, err, 0.96,
+                                     seed=int(err * 100)), cfg)
+
+
+def test_leap_pallas_affine():
+    cfg = AlignConfig(x=2, o=3, e=1, leap_af_threshold=60)
+    _compare(generate_dataset_arrays(32, 80, 0.1, 0.7, seed=5), cfg)
+
+
+def test_leap_pallas_local_mode():
+    cfg = AlignConfig(k=2, leap_mode=LeapMode.LOCAL, leap_af_threshold=40)
+    _compare(generate_dataset_arrays(24, 60, 0.15, 0.9, seed=7), cfg)
+
+
+def test_leap_pallas_tight_threshold():
+    cfg = AlignConfig(leap_af_threshold=2)
+    _compare(generate_dataset_arrays(16, 100, 0.2, 0.96, seed=9), cfg)
