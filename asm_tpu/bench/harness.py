@@ -142,8 +142,17 @@ def run_benchmark(
     coverage = 0.0
     checked = 0
     if want_coverage and coverage_sample > 0:
+        # native (C++) batch coverage handles full corpora; the pure-
+        # Python string walk is the fallback (and the conformance oracle)
+        try:
+            from asm_tpu.native import coverage_batch_native
+        except Exception:
+            coverage_batch_native = None
+        from asm_tpu.native import load_native
+        native_ok = coverage_batch_native is not None and \
+            load_native() is not None
+
         checked = min(coverage_sample, B)
-        sl = slice(0, checked)
         align_chunk = min(chunk, 1 << 15, checked)
         covered = 0
         a_fn = jax.jit(
@@ -163,17 +172,24 @@ def run_benchmark(
                 jnp.asarray(rc), jnp.asarray(rl), jnp.asarray(fc),
                 jnp.asarray(fl),
             )
-            nw_cigars = batch_nw_cigars(np.asarray(nw_ops))
-            g_cigars = batch_greedy_cigars(
-                {k: np.asarray(v) for k, v in g.items()
-                 if k.startswith("cigar")}
-            )
-            for b in range(j - i):
-                s1 = decode_string(rc[b], int(rl[b]))
-                s2 = decode_string(fc[b], int(fl[b]))
-                covered += check_coverage(
-                    s1, s2, g_cigars[b], nw_cigars[b], 1, 3
+            if native_ok:
+                covered += int(coverage_batch_native(
+                    rc, rl, np.asarray(g["cigar_ops"]),
+                    np.asarray(g["cigar_runs"]), np.asarray(nw_ops),
+                    1, 3,
+                ).sum())
+            else:
+                nw_cigars = batch_nw_cigars(np.asarray(nw_ops))
+                g_cigars = batch_greedy_cigars(
+                    {k: np.asarray(v) for k, v in g.items()
+                     if k.startswith("cigar")}
                 )
+                for b in range(j - i):
+                    s1 = decode_string(rc[b], int(rl[b]))
+                    s2 = decode_string(fc[b], int(fl[b]))
+                    covered += check_coverage(
+                        s1, s2, g_cigars[b], nw_cigars[b], 1, 3
+                    )
             if progress:
                 progress(f"coverage {j}/{checked}")
         coverage = covered / max(checked, 1)

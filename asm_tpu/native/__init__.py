@@ -59,6 +59,13 @@ def _configure(lib):
         c.c_char_p, c.c_int64, c.c_int32, i8p, i32p, i8p, i32p,
     ]
 
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.asm_coverage_batch.restype = c.c_int64
+    lib.asm_coverage_batch.argtypes = [
+        c.c_int64, c.c_int32, i8p, i32p, i8p, i32p, c.c_int32, i8p,
+        c.c_int32, c.c_int32, c.c_int32, u8p,
+    ]
+
     lib.asm_fm_build.restype = c.c_void_p
     lib.asm_fm_build.argtypes = [i8p, c.c_int64]
     lib.asm_fm_free.restype = None
@@ -175,6 +182,29 @@ def read_fastq_native(path, max_reads, max_len=128, name_cap=64):
         for i in range(int(min(n, n2)))
     ]
     return codes[:n], lens[:n], names
+
+
+def coverage_batch_native(read_codes, read_len, g_ops, g_runs, nw_cols,
+                          threshold1=1, threshold2=3):
+    """Batched LCM-coverage check (benchmark_coverage.h semantics) in C++.
+
+    g_ops/g_runs: greedy (op, run) slot buffers [n, C]; nw_cols: NW
+    traceback per-column ops [n, 2L] in reverse order (device layout).
+    Returns bool[n]."""
+    lib = load_native(required=True)
+    n = read_codes.shape[0]
+    covered = np.empty(n, np.uint8)
+    lib.asm_coverage_batch(
+        n, read_codes.shape[1],
+        np.ascontiguousarray(read_codes, np.int8),
+        np.ascontiguousarray(read_len, np.int32),
+        np.ascontiguousarray(g_ops, np.int8),
+        np.ascontiguousarray(g_runs, np.int32),
+        g_ops.shape[1],
+        np.ascontiguousarray(nw_cols, np.int8),
+        nw_cols.shape[1], threshold1, threshold2, covered,
+    )
+    return covered.astype(bool)
 
 
 class FMIndex:

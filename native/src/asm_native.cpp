@@ -251,3 +251,112 @@ int64_t asm_write_pair_file(const char* path, int64_t n, int32_t max_len,
 }
 
 }  // extern "C"
+
+// ---- LCM coverage metric (benchmark_coverage.h:26-91) ------------------
+//
+// Batched C++ implementation consumed by the benchmark harness: the
+// reference computes this per pair inside its timed loop with std::string
+// walks; here the harness passes decoded op buffers for a whole chunk.
+// Greedy CIGARs arrive as (op, run) slot arrays (run==0 slots empty; op
+// codes 1 '=', 2 'X', 3 'I', 4 'D', 5 'M'); NW tracebacks arrive as
+// per-column op codes in REVERSE alignment order, 0-padded (the device
+// traceback layout). LCM chars come from the READ only — matching
+// long_consecutive_matching_substring, which never reads s2.
+
+namespace {
+
+void lcm_from_slots(const int8_t* ops, const int32_t* runs, int n_slots,
+                    const int8_t* read, int read_len, int threshold,
+                    std::vector<int8_t>& lcm) {
+    lcm.clear();
+    int i1 = 0;
+    for (int s = 0; s < n_slots; s++) {
+        int run = runs[s];
+        if (run <= 0) continue;
+        int op = ops[s];
+        if (op == 2 || op == 3) {  // 'X' / 'I' consume the read
+            i1 += run;
+        } else if (op == 4) {      // 'D'
+        } else if (op == 1 || op == 5) {  // '=' / 'M'
+            if (run >= threshold)
+                for (int t = 0; t < run && i1 + t < read_len; t++)
+                    lcm.push_back(read[i1 + t]);
+            i1 += run;
+        }
+    }
+}
+
+void lcm_from_cols(const int8_t* cols, int n_cols, const int8_t* read,
+                   int read_len, int threshold, std::vector<int8_t>& lcm) {
+    // cols are reverse-order per-column ops, 0 = empty: forward order is
+    // the non-zero entries iterated BACKWARD; run-length encode on the fly
+    lcm.clear();
+    int i1 = 0;
+    int c = n_cols - 1;
+    while (c >= 0) {
+        while (c >= 0 && cols[c] == 0) c--;
+        if (c < 0) break;
+        int op = cols[c];
+        int run = 0;
+        while (c >= 0) {
+            if (cols[c] == 0) { c--; continue; }  // idle steps: transparent
+            if (cols[c] != op) break;
+            run++;
+            c--;
+        }
+        if (op == 2 || op == 3) {
+            i1 += run;
+        } else if (op == 4) {
+        } else if (op == 1 || op == 5) {
+            if (run >= threshold)
+                for (int t = 0; t < run && i1 + t < read_len; t++)
+                    lcm.push_back(read[i1 + t]);
+            i1 += run;
+        }
+    }
+}
+
+bool covers(const std::vector<int8_t>& s1, const std::vector<int8_t>& s2) {
+    // greedy subsequence scan, benchmark_coverage.h:73-91
+    size_t i = 0;
+    if (s1.size() < s2.size()) return false;
+    for (size_t j = 0; j < s2.size(); j++) {
+        if (i >= s1.size()) return false;
+        while (s1[i] != s2[j]) {
+            i++;
+            if (i >= s1.size()) return false;
+        }
+        i++;
+    }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of covered pairs; fills covered[n] with 0/1.
+// greedy slots: [n, n_slots]; nw cols: [n, n_cols] (reverse order).
+int64_t asm_coverage_batch(int64_t n, int32_t max_len,
+                           const int8_t* read_codes, const int32_t* read_len,
+                           const int8_t* g_ops, const int32_t* g_runs,
+                           int32_t n_slots, const int8_t* nw_cols,
+                           int32_t n_cols, int32_t threshold1,
+                           int32_t threshold2, uint8_t* covered) {
+    std::vector<int8_t> lcm1, lcm2;
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) {
+        lcm_from_slots(g_ops + i * n_slots, g_runs + i * n_slots, n_slots,
+                       read_codes + i * max_len, read_len[i], threshold1,
+                       lcm1);
+        lcm_from_cols(nw_cols + i * n_cols, n_cols,
+                      read_codes + i * max_len, read_len[i], threshold2,
+                      lcm2);
+        uint8_t c = covers(lcm1, lcm2) ? 1 : 0;
+        covered[i] = c;
+        total += c;
+    }
+    return total;
+}
+
+}  // extern "C"

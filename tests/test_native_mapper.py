@@ -119,3 +119,33 @@ def test_mapper_end_to_end(tmp_path):
     assert ok >= n_reads - 1
     assert sam.startswith("@HD")
     assert sam.count("\n") == n_reads + 3
+
+
+def test_native_coverage_matches_python():
+    import jax.numpy as jnp
+    from asm_tpu.config import AlignConfig
+    from asm_tpu.data.generator import generate_dataset
+    from asm_tpu.encoding import encode_batch, decode_string
+    from asm_tpu.kernels.greedy import greedy_align
+    from asm_tpu.kernels.nw import nw_align
+    from asm_tpu.ops.cigar import batch_greedy_cigars, batch_nw_cigars
+    from asm_tpu.metrics.coverage import check_coverage
+    from asm_tpu.native import coverage_batch_native
+
+    cfg = AlignConfig()
+    reads, refs = generate_dataset(128, 100, 0.15, 0.9, seed=17)
+    rc, rl, fc, fl = encode_batch(reads, refs, 128)
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    g = greedy_align(*a, cfg)
+    _, nw_ops = nw_align(*a)
+    got = coverage_batch_native(
+        rc, rl, np.asarray(g["cigar_ops"]), np.asarray(g["cigar_runs"]),
+        np.asarray(nw_ops),
+    )
+    gc = batch_greedy_cigars(g)
+    nc = batch_nw_cigars(np.asarray(nw_ops))
+    exp = np.array(
+        [check_coverage(reads[i], refs[i], gc[i], nc[i], 1, 3)
+         for i in range(128)], bool,
+    )
+    np.testing.assert_array_equal(got, exp)
