@@ -77,24 +77,27 @@ def run_benchmark(
     Args mirror the kernels' batch layout (int8 codes + int32 lengths).
     `chunk` bounds per-launch batch size; `coverage_sample` caps how many
     pairs get the host-side CIGAR coverage check (0/want_coverage=False
-    disables it). impl="pallas" uses the fused TPU kernels for greedy and
-    LEAP (NW stays on the XLA wavefront).
+    disables it). impl="pallas" uses the fused TPU kernels for NW,
+    greedy, and LEAP.
     """
     cfg = cfg or AlignConfig()
     B = read_codes.shape[0]
     chunk = min(chunk, B)
 
-    nw_fn = jax.jit(
-        functools.partial(nw_penalty, x=cfg.x, o=cfg.o, e=cfg.e)
-    )
     if impl == "pallas":
         from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
         from asm_tpu.kernels.leap_pallas import leap_align_pallas
+        from asm_tpu.kernels.nw_pallas import nw_penalty_pallas
 
+        nw_fn = jax.jit(functools.partial(
+            nw_penalty_pallas, x=cfg.x, o=cfg.o, e=cfg.e))
         greedy_fn = jax.jit(functools.partial(
             greedy_align_pallas, cfg=cfg, want_cigar=False))
         leap_fn = jax.jit(functools.partial(leap_align_pallas, cfg=cfg))
     else:
+        nw_fn = jax.jit(
+            functools.partial(nw_penalty, x=cfg.x, o=cfg.o, e=cfg.e)
+        )
         greedy_fn = jax.jit(functools.partial(greedy_align, cfg=cfg))
         leap_fn = jax.jit(functools.partial(leap_align, cfg=cfg))
 
