@@ -53,10 +53,19 @@ def main():
     params = dict(n=n_pairs, err=err, mr=0.96, seed=42, length=100)
     got = load_corpus(cache, **params)
     if got is None:
-        got = generate_dataset_arrays(
-            n_pairs, 100, err, mismatch_rate=0.96, seed=42,
-            max_len=cfg.max_len,
-        )
+        # the C++ generator is ~50x faster for multi-million-pair corpora
+        # (same WFA-style error process, its own seeded RNG stream)
+        try:
+            from asm_tpu.native import generate_dataset_native
+            got = generate_dataset_native(
+                n_pairs, 100, err, mismatch_rate=0.96, seed=42,
+                max_len=cfg.max_len,
+            )
+        except Exception:
+            got = generate_dataset_arrays(
+                n_pairs, 100, err, mismatch_rate=0.96, seed=42,
+                max_len=cfg.max_len,
+            )
         save_corpus(cache, *got, **params)
     rc, rl, fc, fl = got
     print(
