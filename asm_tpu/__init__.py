@@ -43,6 +43,10 @@ from asm_tpu.kernels.nw import nw_align, nw_penalty
 from asm_tpu.kernels.greedy import greedy_align
 from asm_tpu.kernels.leap import leap_align
 from asm_tpu.kernels.shd import shd_filter
+from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
+from asm_tpu.kernels.leap_pallas import leap_align_pallas
+from asm_tpu.kernels.nw_pallas import nw_penalty_pallas
+from asm_tpu.kernels.msa import profile_align, profiles_from_alignments
 
 __all__ = [
     "AlignConfig",
@@ -55,9 +59,14 @@ __all__ = [
     "pack_bitplanes",
     "nw_align",
     "nw_penalty",
+    "nw_penalty_pallas",
     "greedy_align",
+    "greedy_align_pallas",
     "leap_align",
+    "leap_align_pallas",
     "shd_filter",
+    "profile_align",
+    "profiles_from_alignments",
     "CODE_A",
     "CODE_C",
     "CODE_G",

@@ -16,6 +16,19 @@ import argparse
 from asm_tpu.bench.harness import run_benchmark, format_report
 from asm_tpu.config import AlignConfig
 from asm_tpu.data.generator import generate_dataset_arrays
+
+
+def _gen(pairs, length, err, mr, seed, max_len):
+    """C++ generator when available (~50x faster for big corpora)."""
+    try:
+        from asm_tpu.native import generate_dataset_native
+        return generate_dataset_native(
+            pairs, length, err, mr, seed=seed, max_len=max_len
+        )
+    except Exception:
+        return generate_dataset_arrays(
+            pairs, length, err, mr, seed=seed, max_len=max_len
+        )
 from asm_tpu.data.io import read_pair_file
 from asm_tpu.encoding import encode_batch
 
@@ -54,10 +67,8 @@ def main():
         corpora = [
             (
                 f"simulated err={e_:.2f}",
-                generate_dataset_arrays(
-                    args.pairs, args.length, e_, args.mismatch_rate,
-                    seed=args.seed, max_len=cfg.max_len,
-                ),
+                _gen(args.pairs, args.length, e_, args.mismatch_rate,
+                     args.seed, cfg.max_len),
             )
             for e_ in errs
         ]

@@ -121,7 +121,9 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     dest_lane = n - m  # [B]
     in_band = jnp.abs(dest_lane) <= k
 
-    def pick_outer(arr, li):
+    def pick(arr, li):
+        """arr[b, li[b]] for [B, NL] arrays — one-hot sum instead of a
+        take_along_axis gather (TPU lowers even [B, 7] gathers poorly)."""
         onehot = jnp.arange(NL, dtype=jnp.int32)[None, :] == li[:, None]
         return jnp.sum(jnp.where(onehot, arr, jnp.zeros((), arr.dtype)), axis=1)
 
@@ -154,12 +156,6 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     def lanes_onehot(li):
         ids = jnp.arange(NL, dtype=jnp.int32)[None, :, None]
         return ids == li[:, None, None]
-
-    def pick(arr, li):
-        """arr[b, li[b]] for [B, NL] arrays — one-hot sum instead of a
-        take_along_axis gather (TPU lowers even [B, 7] gathers poorly)."""
-        onehot = jnp.arange(NL, dtype=jnp.int32)[None, :] == li[:, None]
-        return jnp.sum(jnp.where(onehot, arr, jnp.zeros((), arr.dtype)), axis=1)
 
     def body(s):
         act = ~s["done"]  # [B]
@@ -322,7 +318,7 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
     # ---- final leap to the destination (run(), hurdle_matrix.h:574-590) ----
     cur_lane, cur_col = s["cur_lane"], s["cur_col"]
     dl_c = jnp.clip(dest_lane, -k, k)
-    dest_col = pick_outer(dest, dl_c + k)
+    dest_col = pick(dest, dl_c + k)
     row_dl = take_lane(orig, dl_c + k)  # [B, W] destination-lane row
     lo = cur_col + switch_forward_column(cur_lane, dest_lane)
     distance = count_range(row_dl, lo, dest_col)

@@ -107,20 +107,25 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
         msk = jnp.uint32(FULL) << jnp.minimum(low, 31).astype(jnp.uint32)
         return jnp.where(low >= 32, jnp.uint32(0), msk)
 
-    def first_set_from(words, c, invert=False):
+    def masks_ge(c):
+        return [mask_ge(c, w) for w in range(W)]
+
+    def first_set_from(words, c=None, invert=False, lo_masks=None):
+        lo_masks = lo_masks if lo_masks is not None else masks_ge(c)
         best = jnp.full(shape, L, jnp.int32)
         for w in range(W):
             row = ~words[w] if invert else words[w]
-            masked = row & mask_ge(c, w)
+            masked = row & lo_masks[w]
             idx = 32 * w + _ctz32(masked)
             idx = jnp.where(masked == 0, L, idx)
             best = jnp.minimum(best, idx)
         return best
 
-    def count_range(words, lo, hi):
+    def count_range(words, lo, hi, lo_masks=None):
+        lo_masks = lo_masks if lo_masks is not None else masks_ge(lo)
         cnt = jnp.zeros(shape, jnp.int32)
         for w in range(W):
-            msk = mask_ge(lo, w) & ~mask_ge(hi, w)
+            msk = lo_masks[w] & ~mask_ge(hi, w)
             cnt = cnt + jax.lax.population_count(words[w] & msk).astype(
                 jnp.int32
             )
@@ -188,14 +193,17 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
         act = ~done
 
         # ---- _update_highway_list ----
-        start_col, recomp = [], []
+        start_col = []
+        sc_masks = []  # mask_ge(start_col) per lane, shared by 3 queries
         sp_n, hlen_n, nsw_n = list(sp), list(hlen), list(nsw)
         reaching = jnp.zeros(shape, jnp.bool_)
         for li in range(NL):
             lane = li - k
             sc = cur_col + sfc(cur_lane, lane)
             rc_ = (sp[li] < sc) & act
-            fz = first_set_from(den[li], sc, invert=True)
+            mge_sc = masks_ge(sc)
+            sc_masks.append(mge_sc)
+            fz = first_set_from(den[li], invert=True, lo_masks=mge_sc)
             sp_new = jnp.where(sc > L, sc, fz)
             no_g = first_set_from(den[li], sp_new)
             raw_len = jnp.where((sp_new >= L) | (no_g >= L), L, no_g - sp_new)
@@ -208,7 +216,6 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
             nsw_n[li] = jnp.where(rc_, jnp.abs(lane - cur_lane), nsw[li])
             reaching = reaching | (rc_ & clamp)
             start_col.append(sc)
-            recomp.append(rc_)
 
         swc, hc, nhur = [], [], []
         for li in range(NL):
@@ -217,7 +224,8 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
                 sc_pen = slp(cur_lane, lane)
             else:
                 sc_pen = jnp.where(it == 0, 0, slp(cur_lane, lane))
-            nh = count_range(orig[li], start_col[li], sp_n[li] + hlen_n[li])
+            nh = count_range(orig[li], start_col[li], sp_n[li] + hlen_n[li],
+                             lo_masks=sc_masks[li])
             swc.append(sc_pen)
             nhur.append(nh)
             hc.append(x * nh)
@@ -274,9 +282,10 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
             fwd_lb = sfc(lane, best_lane_v)
             skip = (best_li == li) | (sp_n[li] + fwd_lb > sp_b)
             ep = sp_n[li] + hlen_n[li]
-            # NOTE raw popcount (no x) — hurdle_matrix.h:389
+            # NOTE raw popcount (no x) — hurdle_matrix.h:389; the lo bound
+            # equals start_col[li], so its masks are shared too
             ic = swc[li] + count_range(
-                orig[li], cur_col + sfc(cur_lane, lane), ep
+                orig[li], start_col[li], ep, lo_masks=sc_masks[li]
             )
             cross = count_range(row_b, fwd_lb + ep, sp_b)
             tc = ic + slp(lane, best_lane_v) + jnp.maximum(0, x * cross)
