@@ -64,7 +64,9 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
 
     def cget(ref, p):
         # position row p of a code plane; out-of-range rows read as a
-        # sentinel that mismatches everything (the PAD_SHIFT semantics)
+        # sentinel that mismatches everything (the PAD_SHIFT semantics).
+        # (int32 planes: this target's Mosaic cannot compare i8 vectors,
+        # even via fused upcasts — int8 input was tried and reverted)
         if p < L:
             return ref[p]
         return jnp.full(shape, 6, jnp.int32)

@@ -42,7 +42,10 @@ def main():
     impl = os.environ.get("BENCH_IMPL", "pallas")
     err = float(os.environ.get("BENCH_ERR", 0.05))
     reps = int(os.environ.get("BENCH_REPS", 3))
-    cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128)
+    # 32 bounds the greedy step records tightly (observed max ~10 on
+    # err<=0.2 corpora); a post-run assertion proves no pair was truncated
+    max_steps = int(os.environ.get("BENCH_MAX_STEPS", 32))
+    cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128, max_steps=max_steps)
 
     n_pairs = max(chunk, (n_pairs // chunk) * chunk)
     t0 = time.perf_counter()
@@ -114,6 +117,11 @@ def main():
               file=sys.stderr)
     print(f"total-cost checksum: {checksum}", file=sys.stderr)
     assert checksum is not None and checksum > 0
+    # prove the tight steps bound truncated nothing
+    max_seen = max(int(np.asarray(jnp.max(o["steps"]))) for o in outs)
+    print(f"max greedy steps: {max_seen} (bound {cfg.steps_bound})",
+          file=sys.stderr)
+    assert max_seen < cfg.steps_bound, "steps bound too tight for corpus"
 
     aligns_per_sec = n_pairs / best
     print(json.dumps({
