@@ -8,13 +8,13 @@ pass, eliminating all HBM traffic between steps.
 
 Layout: pair-per-lane ("one VPU lane owns one pair", the batched analogue
 of the reference's one-SIMD-register-per-pair). A grid step processes a
-tile of 1024 pairs shaped [8, 128] (sublanes x lanes); every per-pair
-scalar is an [8, 128] int32 array, every hurdle-lane word an [8, 128]
+tile of _TILE pairs shaped [_TILE/128, 128] (sublanes x lanes); every
+per-pair scalar is one such int32 array, every hurdle-lane word one such
 uint32 array (NL lanes x 4 words per pair, unrolled statically). All
 first_zero / first_one / popcount queries are ctz/popcount word math
 (lax.population_count — native on the VPU).
 
-Each tile's while_loop exits when ITS OWN 1024 pairs are done, so the
+Each tile's while_loop exits when ITS OWN pairs are done, so the
 worst-case step count is a per-tile max, not a global-batch max.
 
 Inputs arrive pre-transposed as [L, NB, 128] int32 code planes (position-
@@ -38,7 +38,9 @@ OP_M = 5
 OP_I = 3
 OP_D = 4
 
-_TILE = 1024  # pairs per grid step: [8, 128]
+_TILE = 2048  # pairs per grid step: [_SUB, 128] (4096 is ~1% faster but
+              # doubles VMEM pressure; 2048 leaves headroom at T=128)
+_SUB = _TILE // 128
 FULL = 0xFFFFFFFF
 
 
@@ -411,27 +413,27 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
     rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
-    grid = (NB // 8,)
+    grid = (NB // _SUB,)
     kernel = functools.partial(_greedy_kernel, cfg)
     cost, steps, rec = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((L, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((L, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T + 1, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((T + 1, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -440,8 +442,8 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
             jax.ShapeDtypeStruct((T + 1, NB, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((5, 8, 128), jnp.int32),               # st_ref
-            pltpu.VMEM((3 * cfg.num_lanes, 8, 128), jnp.int32),  # lane_ref
+            pltpu.VMEM((5, _SUB, 128), jnp.int32),            # st_ref
+            pltpu.VMEM((3 * cfg.num_lanes, _SUB, 128), jnp.int32),  # lane_ref
         ],
         interpret=interpret,
     )(rc_t, fc_t, rl_t, fl_t)
