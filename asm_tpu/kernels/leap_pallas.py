@@ -5,8 +5,8 @@ which also remains the only path for want_history/backtracking); this
 kernel fuses hurdle-lane construction, bit-packing, and the energy
 wavefront into one VMEM-resident pass.
 
-Layout mirrors greedy_pallas: pair-per-lane [8, 128] tiles (1024 pairs per
-grid step), TL = 2k+3 diagonal lanes unrolled statically, lane rows as
+Layout mirrors greedy_pallas: pair-per-lane [_TILE/128, 128] tiles per
+grid step, TL = 2k+3 diagonal lanes unrolled statically, lane rows as
 W = L/32 uint32 words, the hot count_ID_length query (LV_BAG.cpp:9-23) as
 ctz word math. The e-level ring history (end/I_pos/D_pos rows for the last
 R = max(go,ge,ms)+1 energy levels) lives in VMEM scratch, dynamically
@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from asm_tpu.config import AlignConfig, LeapMode
 
-_TILE = 1024
+_TILE = 2048
+_SUB = _TILE // 128
 UNREACHED = -2
 BIG = 1 << 29
 
@@ -94,7 +95,7 @@ def _leap_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
         run_end = jnp.minimum(first, buflen)
         return jnp.where(start >= buflen, start, run_end)
 
-    # hist_ref layout: [3, R, TL] planes of [8,128]: 0 end, 1 i_pos, 2 d_pos
+    # hist_ref layout: [3, R, TL] planes of [_SUB,128]: 0 end, 1 i_pos, 2 d_pos
     def hrow(kind, r, l):
         return hist_ref[kind, r, l]
 
@@ -261,23 +262,23 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     kernel = functools.partial(_leap_kernel, cfg)
     passed, pen, shift = pl.pallas_call(
         kernel,
-        grid=(NB // 8,),
+        grid=(NB // _SUB,),
         in_specs=[
-            pl.BlockSpec((L, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((L, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((L, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -286,8 +287,8 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
             jax.ShapeDtypeStruct((NB, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, R, TL, 8, 128), jnp.int32),  # hist_ref
-            pltpu.VMEM((3, 8, 128), jnp.int32),         # st_ref
+            pltpu.VMEM((3, R, TL, _SUB, 128), jnp.int32),  # hist_ref
+            pltpu.VMEM((3, _SUB, 128), jnp.int32),      # st_ref
         ],
         interpret=interpret,
     )(rc_t, fc_t, rl_t, fl_t)

@@ -4,12 +4,12 @@ Same recurrence and conventions as asm_tpu.kernels.nw (which remains the
 conformance anchor and the traceback path). The XLA scan streams four
 [B, 128] carry arrays through HBM on every one of the 2L diagonal steps —
 ~0.5 GB/step at B=131k; this kernel keeps the whole wavefront state in
-VMEM for a 32-pair tile and only touches HBM for codes in / penalties out.
+VMEM for a _TB-pair tile and only touches HBM for codes in / penalties out.
 
 Layout: positions across lanes (cells i in [1, L] at lane q = i-1, exactly
-the XLA kernel's scheme incl. the virtual i == 0 border), 32 pairs across
+the XLA kernel's scheme incl. the virtual i == 0 border), _TB pairs across
 sublanes per grid step. The reversed-ref diagonal window is maintained
-incrementally: three [32, L] registers hold the sliding 3L-wide padded
+incrementally: three [_TB, L] registers hold the sliding 3L-wide padded
 reverse-ref window, funnel-shifted one lane per diagonal (pltpu.roll +
 lane-0 patch) instead of re-slicing per step.
 """
@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 1 << 29
-_TB = 32  # pairs per tile
+_TB = 128  # pairs per tile
 
 
 def _nw_kernel(L, x, o, e, rc_ref, fc_ref, rl_ref, fl_ref, pen_ref, st_ref):
