@@ -96,9 +96,6 @@ def _leap_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
         return jnp.where(start >= buflen, start, run_end)
 
     # hist_ref layout: [3, R, TL] planes of [_SUB,128]: 0 end, 1 i_pos, 2 d_pos
-    def hrow(kind, r, l):
-        return hist_ref[kind, r, l]
-
     zero = jnp.zeros(shape, jnp.int32)
     unreached = zero + UNREACHED
 

@@ -56,7 +56,8 @@ class Timer:
         return self.total
 
     @contextlib.contextmanager
-    def span(self, result_getter=None):
+    def span(self):
+        """with t.span() as out: ...; out["result"] = tree  (barrier on exit)."""
         self.start()
         out = {}
         yield out
