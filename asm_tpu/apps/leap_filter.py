@@ -49,7 +49,12 @@ def main(argv=None):
             leap_af_threshold=args.error * 3,
             leap_mode=LeapMode.GLOBAL, max_len=256,
         )
-    use_shd = args.use_shd == 1
+    # per-mode default when -1: SHD on for levenshtein, off for affine
+    # (LEAP_SIMD/main.cpp:92-97)
+    if args.use_shd == -1:
+        use_shd = bool(args.use_levenshtein)
+    else:
+        use_shd = args.use_shd == 1
 
     src = open(args.file) if args.file else sys.stdin
     total = passed = 0

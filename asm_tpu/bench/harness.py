@@ -4,7 +4,9 @@ Mirrors the reference's `benchmark` class (GASMA/benchmark/
 benchmark_utils.h:28-417) as batched TPU pipelines:
 
   * the 1M-iteration per-pair loop (:373-385) -> chunked batched kernel
-    launches (chunk size amortizes compile + keeps HBM bounded);
+    launches (the chunk size bounds per-LAUNCH working memory and fixes
+    one compiled shape; the encoded corpus itself is staged on device
+    up-front so the timed region measures only kernel execution);
   * per-algorithm `times()` accounting (:84-89) -> wall-clock around each
     chunked kernel pass, with a forced device sync per chunk;
   * accuracy = penalty equals the NW optimum (:249-255);
@@ -148,12 +150,11 @@ def run_benchmark(
         # native (C++) batch coverage handles full corpora; the pure-
         # Python string walk is the fallback (and the conformance oracle)
         try:
-            from asm_tpu.native import coverage_batch_native
+            from asm_tpu.native import coverage_batch_native, load_native
+            native_ok = load_native() is not None
         except Exception:
             coverage_batch_native = None
-        from asm_tpu.native import load_native
-        native_ok = coverage_batch_native is not None and \
-            load_native() is not None
+            native_ok = False
 
         checked = min(coverage_sample, B)
         align_chunk = min(chunk, 1 << 15, checked)

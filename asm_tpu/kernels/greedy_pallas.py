@@ -62,7 +62,7 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
 
     m = jnp.minimum(rl_ref[...], L)
     n = jnp.minimum(fl_ref[...], L)
-    shape = m.shape  # [8, 128]
+    shape = m.shape  # [_SUB, 128]
 
     def cget(ref, p):
         # position row p of a code plane; out-of-range rows read as a
@@ -93,6 +93,11 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
         raise NotImplementedError(
             "pallas greedy supports flip_threshold=1 (the reference's "
             "value); use the XLA path otherwise"
+        )
+    if cfg.exact_floats:
+        raise NotImplementedError(
+            "pallas greedy computes the significance heuristic in float32 "
+            "only; use the XLA path for exact_floats (float64) runs"
         )
     den = []
     for li in range(NL):
@@ -383,7 +388,7 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
     """Drop-in replacement for greedy_align with identical outputs
     (cost / cigar_ops / cigar_runs / cigar_count / steps).
 
-    Pads the batch to a multiple of 1024 internally.
+    Pads the batch to a multiple of _TILE internally.
 
     want_cigar=False skips the XLA-side expansion of the packed step
     records into (op, run) slot buffers and returns only cost / steps /

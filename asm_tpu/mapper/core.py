@@ -100,14 +100,18 @@ def map_reads(
 
     best = [None] * n_reads
     if jobs:
-        # batched rescoring (window = read_len + 1, main.cpp:79-80)
+        # batched rescoring (window = read_len + 1, main.cpp:79-80);
+        # every launch is padded to the SAME [mcfg.batch, L] shape so the
+        # kernel compiles exactly once (a TPU compile costs far more than
+        # the padded rows)
         for base in range(0, len(jobs), mcfg.batch):
             batch = jobs[base: base + mcfg.batch]
             bs = len(batch)
-            q = np.empty((bs, L), np.int8)
-            ql = np.empty(bs, np.int32)
-            w = np.full((bs, L), PAD_REF, np.int8)
-            wl = np.empty(bs, np.int32)
+            padded = mcfg.batch
+            q = np.zeros((padded, L), np.int8)
+            ql = np.zeros(padded, np.int32)
+            w = np.full((padded, L), PAD_REF, np.int8)
+            wl = np.zeros(padded, np.int32)
             for bi, (ri, start) in enumerate(batch):
                 q[bi] = read_codes[ri]
                 ql[bi] = read_lens[ri]

@@ -168,7 +168,11 @@ def read_fasta_native(path, capacity=1 << 26, max_records=1 << 16):
 
 
 def read_fastq_native(path, max_reads, max_len=128, name_cap=64):
-    """FASTQ -> (codes int8[n, max_len], lens int32[n], names list[str])."""
+    """FASTQ -> (codes int8[n, max_len], lens int32[n], names list[str]).
+
+    NOTE: two native passes over the file (sequences, then names); fine at
+    mapper scale, and the min(n, n2) guard below drops any skew if the
+    file changes between passes."""
     lib = load_native(required=True)
     codes = np.empty((max_reads, max_len), np.int8)
     lens = np.empty(max_reads, np.int32)

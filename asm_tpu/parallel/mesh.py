@@ -43,8 +43,9 @@ def batch_pspec(mesh: Mesh) -> P:
 def shard_batch(mesh: Mesh, *arrays: jax.Array) -> tuple[jax.Array, ...]:
     """Place arrays with their leading axis sharded over the mesh.
 
-    Every array's batch dimension must be divisible by the mesh size
-    (pad the corpus to a multiple; see asm_tpu.bench.harness.pad_batch).
+    Every array's batch dimension must be divisible by the mesh size —
+    pad the corpus to a multiple first (e.g. np.concatenate a repeat of
+    the leading rows, as the bench harness does for tail chunks).
     """
     spec = batch_pspec(mesh)
     out = []

@@ -4,8 +4,8 @@ The reference's only persistence is dataset files reused when present
 (benchmark_dataset.h:212-217 `overwrite` check) and the cereal'd FM-index.
 Here an encoded corpus (the int8/int32 arrays every kernel consumes) is
 one .npz with its generation parameters, so multi-million-pair benchmark
-corpora are generated once and memory-mapped back instantly; a stale cache
-(different parameters) regenerates.
+corpora are generated once and reloaded quickly (uncompressed npz — load
+is a straight read); a stale cache (different parameters) regenerates.
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ def save_corpus(path: str, read_codes, read_len, ref_codes, ref_len,
                 **params) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     meta = np.array(sorted(params.items()), dtype=object)
-    np.savez_compressed(
+    np.savez(
         path, read_codes=read_codes, read_len=read_len,
         ref_codes=ref_codes, ref_len=ref_len, _params=meta,
     )

@@ -56,3 +56,11 @@ def test_pallas_rejects_unsupported_flip_threshold():
     a = [jnp.asarray(v) for v in corpus]
     with pytest.raises(NotImplementedError):
         greedy_align_pallas(*a, cfg, interpret=True)
+
+
+def test_pallas_rejects_exact_floats():
+    cfg = AlignConfig(exact_floats=True, max_steps=8)
+    corpus = generate_dataset_arrays(8, 50, 0.1, seed=1)
+    a = [jnp.asarray(v) for v in corpus]
+    with pytest.raises(NotImplementedError):
+        greedy_align_pallas(*a, cfg, interpret=True)
