@@ -36,6 +36,13 @@ BASELINE_ALIGNS_PER_SEC = 1_000_000 / 0.85
 
 
 def main():
+    # persistent compile cache: remote TPU compiles cost 30-200s; cached
+    # reruns start in seconds (the cache dir is gitignored)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
     n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 22))
     # one big batch wins: per-call fixed costs amortize with B
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 22))
