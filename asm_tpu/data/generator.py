@@ -14,6 +14,15 @@ unseeded libc rand() (benchmark_dataset.h:190,223 srand(time) — the
 reference's corpora are not reproducible run-to-run; ours are).
 The benchmark config is 5M pairs, length 100, mismatch_rate 0.96, exact
 (benchmark.cpp:14-20).
+
+IMPORTANT quirk, reproduced deliberately: the reference computes
+``num_errors = ceil(pattern_length * error_degree)`` in FLOAT32
+(error_degree is a float member, benchmark_dataset.h:59,153-156), so at
+error_rate=0.15 and length=100 it injects ceil(15.000001f) = 16 errors —
+one MORE than the double-precision 15. Of the published rates
+{.05,.10,.15,.20} only .15 rounds up, which is why a double-based
+generator reproduces the reference's accuracy at every rate except .15
+(the round-1 +3.4 pp outlier at that rate was exactly this).
 """
 
 from __future__ import annotations
@@ -23,6 +32,12 @@ import math
 import numpy as np
 
 _ALPHABET = np.array(list("ACGT"))
+
+
+def nominal_errors(length: int, error_rate: float) -> int:
+    """ceil(length * rate) in float32 — the reference's exact expression
+    (benchmark_dataset.h:153-156: uint64 * float promotes to float)."""
+    return math.ceil(np.float32(length) * np.float32(error_rate))
 
 
 def generate_dataset(
@@ -41,7 +56,7 @@ def generate_dataset(
     rng = np.random.default_rng(seed)
     patterns: list[str] = []
     texts: list[str] = []
-    max_errors = math.ceil(length * error_rate)
+    max_errors = nominal_errors(length, error_rate)
     for _ in range(num_reads):
         pattern = rng.integers(0, 4, size=length)
         num_errors = (
@@ -98,7 +113,7 @@ def generate_dataset_arrays(
         raise ValueError(f"mismatch rate {mismatch_rate} out of [0, 1]")
     rng = np.random.default_rng(seed)
     N = num_reads
-    max_errors = math.ceil(length * error_rate)
+    max_errors = nominal_errors(length, error_rate)
     W = length + max_errors  # worst-case text length (all insertions)
 
     pattern = rng.integers(0, 4, size=(N, length), dtype=np.int8)

@@ -236,12 +236,10 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         # vectorized per-lane costs (one masked reduction each), then the
         # reference's order-dependent running-minimum replayed over NL
         ep = sp + hlen  # [B, NL]
-        cs_i = cur_col[:, None] + switch_forward_column(
-            cur_lane[:, None], lanes_idx[None, :]
-        )
         # NOTE: the reference adds the RAW popcount here, not x * popcount
-        # (hurdle_matrix.h:389 intermediate_cost) — unlike hurdle_cost above
-        ic_all = swc + count_range(orig, cs_i, ep)  # [B, NL]
+        # (hurdle_matrix.h:389 intermediate_cost) — unlike hurdle_cost
+        # above; its window [start_col, ep) is exactly nhur's, so reuse it
+        ic_all = swc + nhur  # [B, NL]
         fwd_lb = switch_forward_column(lanes_idx[None, :], best_lane_v[:, None])
         cross = count_range(row_b, fwd_lb + ep, sp_b[:, None])
         tc_all = (

@@ -17,10 +17,17 @@ first_zero / first_one / popcount queries are ctz/popcount word math
 Each tile's while_loop exits when ITS OWN pairs are done, so the
 worst-case step count is a per-tile max, not a global-batch max.
 
-Inputs arrive pre-transposed as [L, NB, 128] int32 code planes (position-
-major) so the kernel reads position rows directly; the CIGAR step records
-leave as one packed int32 per step (dl in the low 16 bits, advance in the
-high 16) and are expanded to the standard (op, run) slot buffers in XLA.
+Inputs arrive as word-major packed planes [W, NB, 128] uint32 — two 2-bit
+code planes plus one validity plane per sequence (the reference's two
+__m128i bit-planes from sse3_convert2bit1, bit_convert.cpp:248-369, plus an
+explicit valid plane replacing its stale-buffer reads past string ends).
+Each hurdle lane row is then a funnel shift of one side's three planes by
+|lane| bits + XOR/OR/AND word math (_construct_hurdles,
+hurdle_matrix.h:441-455) — ~15 word ops per lane row instead of the 32
+compare-shift-OR triples per word a code-compare build costs. The CIGAR
+step records leave as one packed int32 per step (dl in the low 16 bits,
+advance in the high 16) and are expanded to the standard (op, run) slot
+buffers in XLA.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from asm_tpu.config import AlignConfig, AlignmentType
+from asm_tpu.encoding import pack_planes_swar
 
 OP_M = 5
 OP_I = 3
@@ -49,7 +57,8 @@ def _ctz32(w):
     return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
 
 
-def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
+def _greedy_kernel(cfg: AlignConfig, r0_ref, r1_ref, rv_ref, f0_ref, f1_ref,
+                   fv_ref, rl_ref, fl_ref,
                    cost_ref, steps_ref, rec_ref, st_ref, lane_ref):
     k = cfg.k
     NL = cfg.num_lanes
@@ -64,29 +73,43 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
     n = jnp.minimum(fl_ref[...], L)
     shape = m.shape  # [_SUB, 128]
 
-    def cget(ref, p):
-        # position row p of a code plane; out-of-range rows read as a
-        # sentinel that mismatches everything (the PAD_SHIFT semantics).
-        # (int32 planes: this target's Mosaic cannot compare i8 vectors,
-        # even via fused upcasts — int8 input was tried and reverted)
-        if p < L:
-            return ref[p]
-        return jnp.full(shape, 6, jnp.int32)
+    # ---- build hurdle rows from packed bit-planes ----------------------
+    # bit p of word w = position 32*w + p. Per lane, ONE side's planes are
+    # funnel-shifted right by |lane| bits (shift toward position 0 — the
+    # reference's shift_right on its bit-planes, hurdle_matrix.h:444-449);
+    # hurdle = (bit0 planes differ) | (bit1 planes differ) | (either
+    # position invalid). The validity planes make every padding/overhang
+    # position a hurdle — deterministic where the reference compares stale
+    # buffer bytes (hurdle_matrix.h:497) — and zeros funnel-shifted in past
+    # word W-1 read as invalid, matching the PAD_SHIFT sentinel semantics.
+    r_pl = ([r0_ref[w] for w in range(W)],
+            [r1_ref[w] for w in range(W)],
+            [rv_ref[w] for w in range(W)])
+    f_pl = ([f0_ref[w] for w in range(W)],
+            [f1_ref[w] for w in range(W)],
+            [fv_ref[w] for w in range(W)])
+    zero_u = jnp.zeros(shape, jnp.uint32)
 
-    # ---- build hurdle rows: shifted compare, packed 32 bits per word ----
-    orig = []  # [NL][W] uint32 [8,128]
+    def funnel(words, s):
+        """Shift a packed row right by s bits: result bit p = input bit p+s."""
+        if s == 0:
+            return words
+        return [
+            (words[w] >> jnp.uint32(s))
+            | ((words[w + 1] << jnp.uint32(32 - s)) if w + 1 < W else zero_u)
+            for w in range(W)
+        ]
+
+    orig = []  # [NL][W] uint32 [_SUB, 128]
     for lane in range(-k, k + 1):
         a_off = max(-lane, 0)
         b_off = max(lane, 0)
-        words = []
-        for w in range(W):
-            acc = jnp.zeros(shape, jnp.uint32)
-            for b in range(32):
-                p = 32 * w + b
-                diff = cget(rc_ref, p + a_off) != cget(fc_ref, p + b_off)
-                acc = acc | (diff.astype(jnp.uint32) << b)
-            words.append(acc)
-        orig.append(words)
+        a0, a1, av = (funnel(p, a_off) for p in r_pl)
+        b0, b1, bv = (funnel(p, b_off) for p in f_pl)
+        orig.append([
+            (a0[w] ^ b0[w]) | (a1[w] ^ b1[w]) | ~(av[w] & bv[w])
+            for w in range(W)
+        ])
 
     # ---- denoise: flip_short_hurdles(1) -> den; highways = ~den ----
     if cfg.flip_threshold != 1:
@@ -286,17 +309,22 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
         stc = swc_b + hc_b
         sic = stc
         bil = best_li
+        hi_b = [~mask_ge(sp_b, w) for w in range(W)]  # shared mask_lt(sp_b)
         for li in range(NL):
             lane = li - k
             fwd_lb = sfc(lane, best_lane_v)
             skip = (best_li == li) | (sp_n[li] + fwd_lb > sp_b)
             ep = sp_n[li] + hlen_n[li]
-            # NOTE raw popcount (no x) — hurdle_matrix.h:389; the lo bound
-            # equals start_col[li], so its masks are shared too
-            ic = swc[li] + count_range(
-                orig[li], start_col[li], ep, lo_masks=sc_masks[li]
-            )
-            cross = count_range(row_b, fwd_lb + ep, sp_b)
+            # NOTE raw popcount (no x) — hurdle_matrix.h:389; its window
+            # [start_col, ep) is EXACTLY nhur's window above, so reuse it
+            ic = swc[li] + nhur[li]
+            lo = fwd_lb + ep
+            cross = jnp.zeros(shape, jnp.int32)
+            for w in range(W):
+                msk = mask_ge(lo, w) & hi_b[w]
+                cross = cross + jax.lax.population_count(
+                    row_b[w] & msk
+                ).astype(jnp.int32)
             tc = ic + slp(lane, best_lane_v) + jnp.maximum(0, x * cross)
             upd = ~skip & (tc <= stc) & (ic <= sic)
             stc = jnp.where(upd, tc, stc)
@@ -412,22 +440,29 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
         ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
 
     NB = BP // 128
-    # position-major int32 code planes [L, NB, 128]
-    rc_t = read_codes.astype(jnp.int32).T.reshape(L, NB, 128)
-    fc_t = ref_codes.astype(jnp.int32).T.reshape(L, NB, 128)
+    W = L // 32
+    # word-major packed planes [W, NB, 128] uint32: 2-bit code planes
+    # (pack_planes_swar == sse3_convert2bit1's layout for 32-bit TPU words)
+    # + a validity plane (code < 4, i.e. a real base, not padding)
+    r0, r1, rv = pack_planes_swar(read_codes)
+    f0, f1, fv = pack_planes_swar(ref_codes)
+
+    def tr(p):  # [BP, W] -> [W, NB, 128]
+        return p.T.reshape(W, NB, 128)
+
     rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
+    plane_spec = pl.BlockSpec((W, _SUB, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
     grid = (NB // _SUB,)
     kernel = functools.partial(_greedy_kernel, cfg)
     cost, steps, rec = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, _SUB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, _SUB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            plane_spec, plane_spec, plane_spec,
+            plane_spec, plane_spec, plane_spec,
             pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
@@ -451,7 +486,7 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
             pltpu.VMEM((3 * cfg.num_lanes, _SUB, 128), jnp.int32),  # lane_ref
         ],
         interpret=interpret,
-    )(rc_t, fc_t, rl_t, fl_t)
+    )(tr(r0), tr(r1), tr(rv), tr(f0), tr(f1), tr(fv), rl_t, fl_t)
 
     cost = cost.reshape(BP)[:B]
     steps = steps.reshape(BP)[:B]

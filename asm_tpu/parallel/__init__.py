@@ -27,6 +27,11 @@ from asm_tpu.parallel.runner import (
     make_sharded_greedy,
     BatchStats,
 )
+from asm_tpu.parallel.schedule import (
+    difficulty_proxy,
+    difficulty_order,
+    inverse_permutation,
+)
 
 __all__ = [
     "make_mesh",
@@ -36,4 +41,7 @@ __all__ = [
     "make_sharded_pipeline",
     "make_sharded_greedy",
     "BatchStats",
+    "difficulty_proxy",
+    "difficulty_order",
+    "inverse_permutation",
 ]

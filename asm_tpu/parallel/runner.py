@@ -101,7 +101,7 @@ def make_sharded_pipeline(mesh, cfg: AlignConfig):
 
 
 def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
-                        want_cigar: bool = False):
+                        want_cigar: bool = False, interpret: bool = False):
     """jit'd sharded greedy-only step: returns the greedy result dict with
     every leaf sharded on the batch axis (the pure-throughput path used by
     the flagship benchmark).
@@ -110,6 +110,8 @@ def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
     TPU kernel, asm_tpu.kernels.greedy_pallas — ~8x faster on chip).
     want_cigar=False (pallas only) skips the (op, run) slot expansion and
     returns compact packed step records instead.
+    interpret=True (pallas only) runs the kernel in Pallas interpret mode
+    so the exact shipped bench path is testable on the hermetic CPU mesh.
     """
     axis = mesh.axis_names[0]
     b = P(axis)
@@ -120,7 +122,7 @@ def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
         def shard_fn(read_codes, read_len, ref_codes, ref_len):
             return greedy_align_pallas(
                 read_codes, read_len, ref_codes, ref_len, cfg,
-                want_cigar=want_cigar,
+                want_cigar=want_cigar, interpret=interpret,
             )
     else:
         def shard_fn(read_codes, read_len, ref_codes, ref_len):

@@ -1,0 +1,53 @@
+"""Difficulty-aware batch scheduling for lockstep kernels.
+
+The greedy Pallas kernel advances a whole tile of pairs in lockstep: its
+while_loop runs until the SLOWEST pair in the tile converges (the
+per-tile-max exit in asm_tpu.kernels.greedy_pallas). With randomly ordered
+corpora every tile contains a tail pair, so every tile pays close to the
+global worst-case step count. Ordering the corpus by a difficulty proxy
+groups pairs of similar step count into the same tile: easy tiles then
+exit in 2-3 iterations and only the few genuinely hard tiles run long —
+the lockstep analogue of sequence-length bucketing in batched inference.
+
+This is a scheduling concern, not an algorithm change: per-pair results
+are unchanged, only their order. `difficulty_order` returns the
+permutation (host-side numpy, cheap: one vectorized pass over the codes);
+callers that need input order back apply `inverse_permutation` to the
+permutation and reindex host-side. The reference has no analogue — it
+walks one pair at a time, so order never matters (benchmark_utils.h:373).
+
+The proxy: greedy step count grows with the number of denoised hurdle
+clusters along the walked path plus the number of lane switches. Counting
+adjacent mismatch pairs on lane 0 tracks both: mismatch-only pairs
+contribute their >= 2-wide clusters (isolated mismatches are erased by
+flip_short_hurdles(1) and cost no step), while indel pairs mismatch
+almost everywhere on lane 0 past the first indel, pushing them to the
+hard end — exactly where their lane-switching walks belong.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def difficulty_proxy(read_codes, read_len, ref_codes, ref_len) -> np.ndarray:
+    """int32[B] monotone-ish proxy for per-pair greedy step count."""
+    rc = np.asarray(read_codes)
+    fc = np.asarray(ref_codes)
+    d = rc != fc  # pads (4 vs 5) mismatch, matching kernel semantics
+    return (d[:, 1:] & d[:, :-1]).sum(axis=1, dtype=np.int32)
+
+
+def difficulty_order(read_codes, read_len, ref_codes, ref_len) -> np.ndarray:
+    """Permutation that sorts the batch easy -> hard (stable)."""
+    return np.argsort(
+        difficulty_proxy(read_codes, read_len, ref_codes, ref_len),
+        kind="stable",
+    )
+
+
+def inverse_permutation(perm: np.ndarray) -> np.ndarray:
+    """inv with inv[perm[i]] = i — maps sorted-order results back."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=perm.dtype)
+    return inv

@@ -84,6 +84,20 @@ def main():
         file=sys.stderr,
     )
 
+    # difficulty-ordered scheduling (asm_tpu.parallel.schedule): tiles of
+    # similar step count converge together instead of every tile paying
+    # the global worst case. Host-side corpus prep, outside the timed
+    # region like the reference's file parse; per-pair results unchanged
+    # (the checksum below is permutation-invariant). BENCH_SORT=0 disables.
+    if int(os.environ.get("BENCH_SORT", 1)):
+        from asm_tpu.parallel import difficulty_order
+
+        t0 = time.perf_counter()
+        perm = difficulty_order(rc, rl, fc, fl)
+        rc, rl, fc, fl = rc[perm], rl[perm], fc[perm], fl[perm]
+        print(f"difficulty sort: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
     mesh = make_mesh()
     step = make_sharded_greedy(mesh, cfg, impl=impl)
 

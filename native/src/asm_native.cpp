@@ -187,7 +187,10 @@ void asm_generate_dataset(int64_t num_reads, int32_t length, double error_rate,
                           int32_t* ref_len) {
     std::mt19937_64 rng(seed);
     std::uniform_real_distribution<double> uni(0.0, 1.0);
-    int max_errors = (int)(error_rate * length + 0.999999);
+    // FLOAT32 ceil like the reference (benchmark_dataset.h:153-156:
+    // uint64 * float promotes to float) — at rate .15, len 100 this is
+    // ceil(15.000001f) = 16 errors, not the double-precision 15
+    int max_errors = (int)ceilf((float)length * (float)error_rate);
     std::vector<int8_t> text;
     text.reserve(length + max_errors + 4);
     for (int64_t i = 0; i < num_reads; i++) {

@@ -55,6 +55,25 @@ def test_sharded_pipeline_matches_single_device(corpus):
     assert stats.greedy_cost_sum >= stats.nw_penalty_sum
 
 
+def test_sharded_greedy_pallas_matches_xla(corpus):
+    """The EXACT path bench.py times — make_sharded_greedy(impl='pallas',
+    want_cigar=False) under shard_map — against the sharded XLA kernel,
+    on the hermetic 8-device CPU mesh (pallas in interpret mode)."""
+    cfg = AlignConfig(k=3, max_steps=24)
+    mesh = make_mesh()
+    args = shard_batch(mesh, *corpus)
+    out_p = make_sharded_greedy(
+        mesh, cfg, impl="pallas", want_cigar=False, interpret=True
+    )(*args)
+    out_x = make_sharded_greedy(mesh, cfg, impl="xla")(*args)
+    np.testing.assert_array_equal(
+        np.asarray(out_p["cost"]), np.asarray(out_x["cost"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_p["steps"]), np.asarray(out_x["steps"])
+    )
+
+
 def test_sharded_greedy_matches_plain(corpus):
     import functools
     import jax.numpy as jnp
