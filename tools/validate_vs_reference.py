@@ -68,6 +68,72 @@ int main(int argc, char** argv) {
 }
 """
 
+SHD_DRIVER_SRC = r"""
+// SHD conformance driver: packs stdin pairs with the REFERENCE's own
+// sse_convert2bit, runs bit_vec_filter_sse (SHD.cpp:157-239) and the
+// production masks variant (SHD.cpp:335-385 via SIMD_ED::calculate_masks,
+// the gate SIMD_ED.cpp:270,489 uses), printing verdicts + the raw lane
+// masks so the Python emulator can be diffed mask-for-mask. Also dumps
+// the 32 bytes BEFORE MASK_AVX_BEG — the row the masks variant reads
+// out-of-bounds when error == 0 (SHD.cpp:360).
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <iostream>
+#include <string>
+#include <algorithm>
+#define private public
+#include "SIMD_ED.h"
+#undef private
+#include "SHD.h"
+#include "bit_convert.h"
+#include "mask.h"
+using namespace std;
+
+static void print_msb(const uint8_t* b, int n) {
+    for (int i = n - 1; i >= 0; i--) printf("%02x", b[i]);
+}
+
+int main(int argc, char** argv) {
+    int max_error = argc > 1 ? atoi(argv[1]) : 3;
+    printf("OOB ");
+    print_msb(MASK_AVX_BEG - 32, 32);
+    printf("\n");
+    SIMD_ED ed;
+    ed.init_levenshtein(max_error, ED_GLOBAL, true);
+    string a, b;
+    char bufA[128] __attribute__((aligned(16)));
+    char bufB[128] __attribute__((aligned(16)));
+    uint8_t a0[16] __attribute__((aligned(16))), a1[16] __attribute__((aligned(16)));
+    uint8_t b0[16] __attribute__((aligned(16))), b1[16] __attribute__((aligned(16)));
+    while (getline(cin, a) && getline(cin, b)) {
+        int length = (int)max(a.size(), b.size());
+        memset(bufA, 0, 128); memset(bufB, 0, 128);
+        strncpy(bufA, a.c_str(), min(a.size(), (size_t)128));
+        strncpy(bufB, b.c_str(), min(b.size(), (size_t)128));
+        sse_convert2bit(bufA, a0, a1);
+        sse_convert2bit(bufB, b0, b1);
+        int sse = bit_vec_filter_sse(
+            _mm_load_si128((__m128i*)a0), _mm_load_si128((__m128i*)a1),
+            _mm_load_si128((__m128i*)b0), _mm_load_si128((__m128i*)b1),
+            length, max_error);
+        ed.load_reads((char*)a.c_str(), (char*)b.c_str(), length);
+        ed.calculate_masks();
+        int mv = bit_vec_filter_avx(ed.hamming_masks + 1, ed.buffer_length,
+                                    max_error);
+        printf("%d %d", sse, mv);
+        for (int j = 0; j < 2 * max_error + 1; j++) {
+            printf(" ");
+            uint8_t tmp[32];
+            _mm256_storeu_si256((__m256i*)tmp, ed.hamming_masks[1 + j]);
+            print_msb(tmp, 32);
+        }
+        printf("\n");
+    }
+    return 0;
+}
+"""
+
 # the reference includes boost/preprocessor only for BOOST_PP_DIV on
 # integer constants — shim it rather than requiring boost
 SHIM = "#pragma once\n#ifndef BOOST_PP_DIV\n#define BOOST_PP_DIV(a, b) ((a) / (b))\n#endif\n"
@@ -104,6 +170,78 @@ def build_driver() -> str:
     return driver
 
 
+def build_shd_driver() -> str:
+    driver = os.path.join(BUILD, "shd_driver")
+    if os.path.exists(driver):
+        return driver
+    os.makedirs(BUILD, exist_ok=True)
+    src = os.path.join(BUILD, "shd_driver.cpp")
+    with open(src, "w") as fh:
+        fh.write(SHD_DRIVER_SRC)
+    leap = os.path.join(REF, "GASMA/benchmark/LEAP_SIMD")
+    subprocess.run(
+        ["g++", "-O2", "-msse4.2", "-mbmi", "-mavx2", "-I", leap, src]
+        + [os.path.join(leap, f) for f in
+           ("SHD.cpp", "SIMD_ED.cpp", "shift.cpp", "popcount.cpp",
+            "mask.cpp", "bit_convert.cpp", "print.cpp")]
+        + ["-o", driver],
+        check=True,
+    )
+    return driver
+
+
+def validate_shd() -> bool:
+    """Diff shd_ref (scalar emulator) against the compiled SHD filter:
+    per-pair verdicts for both live variants + mask-for-mask equality of
+    SIMD_ED::calculate_masks."""
+    from asm_tpu.data.generator import generate_dataset
+    from asm_tpu.reference_impl import shd_ref
+
+    driver = build_shd_driver()
+    ok = True
+    for err, mr, seed, n, k in [(0.02, 0.96, 11, 200, 3),
+                                (0.05, 0.96, 12, 200, 3),
+                                (0.10, 0.96, 13, 200, 3),
+                                (0.10, 0.50, 14, 200, 5),
+                                (0.20, 0.96, 15, 200, 3)]:
+        reads, refs = generate_dataset(n, 100, err, mr, seed=seed)
+        inp = "".join(f"{a}\n{b}\n" for a, b in zip(reads, refs))
+        out = subprocess.run([driver, str(k)], input=inp,
+                             capture_output=True, text=True
+                             ).stdout.strip().split("\n")
+        oob = int(out[0].split()[1], 16)
+        sse_mm = mask_mm = gate_mm = 0
+        code = {"A": 0, "C": 1, "G": 2, "T": 3}
+        for i, line in enumerate(out[1:]):
+            parts = line.split()
+            r_sse, r_gate = int(parts[0]), int(parts[1])
+            r_masks = [int(h, 16) for h in parts[2:]]
+            a = [code[ch] for ch in reads[i]]
+            b = [code[ch] for ch in refs[i]]
+            length = max(len(a), len(b))
+            a0, a1 = shd_ref.planes_from_codes(a, 128)
+            b0, b1 = shd_ref.planes_from_codes(b, 128)
+            e_sse = shd_ref.bit_vec_filter(a0, a1, b0, b1, length, k)
+            e_masks = shd_ref.calculate_masks_ref(a, b, k)
+            e_gate = shd_ref.bit_vec_filter_masks(e_masks, length, k,
+                                                  oob_row=oob)
+            sse_mm += int(e_sse) != r_sse
+            # mask equality on the in-range bits only: beyond `length` the
+            # reference's masks hold STALE BUFFER BYTES from the previous
+            # pair (load_reads strncpy, SIMD_ED.cpp:144-147) — every
+            # downstream consumer masks those bits off
+            lm = (1 << length) - 1
+            mask_mm += [m & lm for m in e_masks] != [m & lm for m in r_masks]
+            gate_mm += int(e_gate) != r_gate
+        print(f"SHD err={err} mr={mr} k={k}: sse mism {sse_mm}/{n}, "
+              f"masks mism {mask_mm}/{n}, gate mism {gate_mm}/{n}")
+        if sse_mm or mask_mm or gate_mm:
+            ok = False
+    print(f"SHD OOB row (MASK_AVX_BEG[-1]) = "
+          f"{'matches documented layout' if oob == shd_ref.DEFAULT_OOB_ROW else hex(oob)}")
+    return ok
+
+
 def main():
     from asm_tpu.data.generator import generate_dataset
     from asm_tpu.reference_impl.greedy_ref import greedy_ref
@@ -136,6 +274,8 @@ def main():
             ok = False
         if lb > 0:
             ok = False
+    if not validate_shd():
+        ok = False
     print("VALIDATION", "OK" if ok else "FAILED")
     sys.exit(0 if ok else 1)
 
