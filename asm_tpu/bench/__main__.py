@@ -48,7 +48,8 @@ def main():
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--max-len", type=int, default=128)
     p.add_argument("--chunk", type=int, default=1 << 20)
-    p.add_argument("--coverage-sample", type=int, default=20000)
+    p.add_argument("--coverage-sample", type=int, default=None,
+               help="cap coverage to the first N pairs (default: full corpus, like the reference)")
     p.add_argument("--no-coverage", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--impl", choices=("xla", "pallas"), default="xla",

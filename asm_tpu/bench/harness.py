@@ -69,7 +69,7 @@ def run_benchmark(
     ref_len: np.ndarray,
     cfg: AlignConfig | None = None,
     chunk: int = 1 << 17,
-    coverage_sample: int = 20000,
+    coverage_sample: int | None = None,
     want_coverage: bool = True,
     progress=None,
     impl: str = "xla",
@@ -77,10 +77,11 @@ def run_benchmark(
     """Run the three-way benchmark over an encoded corpus.
 
     Args mirror the kernels' batch layout (int8 codes + int32 lengths).
-    `chunk` bounds per-launch batch size; `coverage_sample` caps how many
-    pairs get the host-side CIGAR coverage check (0/want_coverage=False
-    disables it). impl="pallas" uses the fused TPU kernels for NW,
-    greedy, and LEAP.
+    `chunk` bounds per-launch batch size; `coverage_sample=None` (the
+    default) checks coverage on the FULL corpus like the reference
+    (device masks + host fallback); an int caps the checked prefix; 0 or
+    want_coverage=False disables it. impl="pallas" uses the fused TPU
+    kernels for NW, greedy, and LEAP.
     """
     cfg = cfg or AlignConfig()
     B = read_codes.shape[0]
@@ -146,9 +147,17 @@ def run_benchmark(
 
     coverage = 0.0
     checked = 0
-    if want_coverage and coverage_sample > 0:
-        # native (C++) batch coverage handles full corpora; the pure-
-        # Python string walk is the fallback (and the conformance oracle)
+    if want_coverage and (coverage_sample is None or coverage_sample > 0):
+        # Full-corpus coverage (the reference checks every pair,
+        # benchmark_utils.h:256-258): device-side read-position LCM masks
+        # + positional-subset certificate; only pairs failing the
+        # certificate take the exact host/native character check
+        # (metrics.coverage_device docstring).
+        from asm_tpu.metrics.coverage_device import (
+            greedy_match_mask,
+            positional_covered,
+        )
+
         try:
             from asm_tpu.native import coverage_batch_native, load_native
             native_ok = load_native() is not None
@@ -156,44 +165,63 @@ def run_benchmark(
             coverage_batch_native = None
             native_ok = False
 
-        checked = min(coverage_sample, B)
-        align_chunk = min(chunk, 1 << 15, checked)
+        checked = B if coverage_sample is None else min(coverage_sample, B)
+        L = read_codes.shape[1]
+        align_chunk = min(chunk, 1 << 13, checked)
         covered = 0
-        a_fn = jax.jit(
-            functools.partial(nw_align, x=cfg.x, o=cfg.o, e=cfg.e)
-        )
+        a_fn = jax.jit(functools.partial(
+            nw_align, x=cfg.x, o=cfg.o, e=cfg.e, match_mask_threshold=3
+        ))
         # coverage needs CIGARs: always use the XLA greedy path here
         greedy_fn = jax.jit(functools.partial(greedy_align, cfg=cfg))
+
+        @jax.jit
+        def cov_step(rc, rl, fc, fl):
+            _, nw_ops, nw_mask = a_fn(rc, rl, fc, fl)
+            g = greedy_fn(rc, rl, fc, fl)
+            g_mask = greedy_match_mask(
+                g["cigar_ops"], g["cigar_runs"], L, 1
+            )
+            cert = positional_covered(g_mask, nw_mask)
+            return cert, nw_ops, g["cigar_ops"], g["cigar_runs"]
+
         for i in range(0, checked, align_chunk):
             j = min(i + align_chunk, checked)
             rc, rl = read_codes[i:j], read_len[i:j]
             fc, fl = ref_codes[i:j], ref_len[i:j]
-            _, nw_ops = a_fn(
+            if j - i < align_chunk:  # pad tail to the compiled shape
+                pad = align_chunk - (j - i)
+                rc = np.concatenate([rc, read_codes[:pad]])
+                rl = np.concatenate([rl, read_len[:pad]])
+                fc = np.concatenate([fc, ref_codes[:pad]])
+                fl = np.concatenate([fl, ref_len[:pad]])
+            cert, nw_ops, g_ops, g_runs = cov_step(
                 jnp.asarray(rc), jnp.asarray(rl), jnp.asarray(fc),
                 jnp.asarray(fl),
             )
-            g = greedy_fn(
-                jnp.asarray(rc), jnp.asarray(rl), jnp.asarray(fc),
-                jnp.asarray(fl),
-            )
-            if native_ok:
-                covered += int(coverage_batch_native(
-                    rc, rl, np.asarray(g["cigar_ops"]),
-                    np.asarray(g["cigar_runs"]), np.asarray(nw_ops),
-                    1, 3,
-                ).sum())
-            else:
-                nw_cigars = batch_nw_cigars(np.asarray(nw_ops))
-                g_cigars = batch_greedy_cigars(
-                    {k: np.asarray(v) for k, v in g.items()
-                     if k.startswith("cigar")}
-                )
-                for b in range(j - i):
-                    s1 = decode_string(rc[b], int(rl[b]))
-                    s2 = decode_string(fc[b], int(fl[b]))
-                    covered += check_coverage(
-                        s1, s2, g_cigars[b], nw_cigars[b], 1, 3
+            cert = np.asarray(cert)[: j - i]
+            covered += int(cert.sum())
+            rest = np.nonzero(~cert)[0]
+            if rest.size:
+                # exact character-based covers() for the uncertified few
+                nw_ops = np.asarray(nw_ops)[rest]
+                g_ops = np.asarray(g_ops)[rest]
+                g_runs = np.asarray(g_runs)[rest]
+                if native_ok:
+                    covered += int(coverage_batch_native(
+                        rc[rest], rl[rest], g_ops, g_runs, nw_ops, 1, 3
+                    ).sum())
+                else:
+                    nw_cigars = batch_nw_cigars(nw_ops)
+                    g_cigars = batch_greedy_cigars(
+                        {"cigar_ops": g_ops, "cigar_runs": g_runs}
                     )
+                    for bi, b in enumerate(rest):
+                        s1 = decode_string(rc[b], int(rl[b]))
+                        s2 = decode_string(fc[b], int(fl[b]))
+                        covered += check_coverage(
+                            s1, s2, g_cigars[bi], nw_cigars[bi], 1, 3
+                        )
             if progress:
                 progress(f"coverage {j}/{checked}")
         coverage = covered / max(checked, 1)

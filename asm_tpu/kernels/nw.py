@@ -160,13 +160,24 @@ def nw_penalty(read_codes, read_len, ref_codes, ref_len, x=1, o=1, e=1):
     return pen
 
 
-@functools.partial(jax.jit, static_argnames=("x", "o", "e"))
-def nw_align(read_codes, read_len, ref_codes, ref_len, x=1, o=1, e=1):
+@functools.partial(
+    jax.jit, static_argnames=("x", "o", "e", "match_mask_threshold")
+)
+def nw_align(read_codes, read_len, ref_codes, ref_len, x=1, o=1, e=1,
+             match_mask_threshold: int | None = None):
     """Exact global alignment with traceback.
 
     Returns (penalty int32[B], ops int8[B, 2L]) where ops lists OP_* codes in
     REVERSE alignment order (traceback order), OP_NONE-padded. Use
     asm_tpu.ops.cigar.ops_to_cigar to render CIGAR strings.
+
+    match_mask_threshold: if set, additionally returns bool[B, L] marking
+    READ positions inside '=' runs of length >= threshold — the positions
+    whose characters the reference's LCM string collects
+    (long_consecutive_matching_substring, benchmark_coverage.h:26-67, as
+    called with the NW CIGAR and threshold 3 by benchmark_utils.h:256).
+    Computed during the same traceback scan; enables full-corpus
+    device-side coverage without materializing CIGAR strings.
     """
     B, L = read_codes.shape
     penalty, ptrs = _wavefront(
@@ -181,10 +192,15 @@ def nw_align(read_codes, read_len, ref_codes, ref_len, x=1, o=1, e=1):
     # are not stored (module docstring): their byte is the closed form
     # "F-gap, opened iff d == 1".
     ww = 1 + jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    ww0 = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)  # 0-based read pos
+    want_mask = match_mask_threshold is not None
 
     def step(carry, xs):
         d, ptr_d = xs  # scalar diag index, [B, L] pointer bytes of diag d
-        i, j, st = carry
+        if want_mask:
+            i, j, st, run, mask = carry
+        else:
+            i, j, st = carry
         active = (i + j == d) & ((i > 0) | (j > 0))
         fetched = jnp.sum(
             jnp.where(ww == i[:, None], ptr_d, jnp.uint8(0)).astype(jnp.int32),
@@ -220,17 +236,42 @@ def nw_align(read_codes, read_len, ref_codes, ref_len, x=1, o=1, e=1):
                 jnp.where(f_open == 1, 0, 2),
             ),
         )
+        if want_mask:
+            # '='-run bookkeeping (alignment-order runs are contiguous in
+            # traceback order too): when a run ends at read cursor i with
+            # count `run`, the run covered read positions [i, i + run).
+            # Only ACTIVE steps advance the walk — a pair idles on scan
+            # steps between its diagonals, which must not touch the run.
+            is_eq = active & go_diag & (mis == 0)
+            ends = active & ~is_eq
+            mark = (run > 0) & ends & (run >= match_mask_threshold)
+            mask = mask | (
+                mark[:, None] & (ww0 >= i[:, None])
+                & (ww0 < (i + run)[:, None])
+            )
+            run = jnp.where(is_eq, run + 1, jnp.where(ends, 0, run))
+
         i = jnp.where(active, i - di, i)
         j = jnp.where(active, j - dj, j)
         st = jnp.where(active, new_st, st).astype(jnp.int32)
+        if want_mask:
+            return (i, j, st, run, mask), op
         return (i, j, st), op
 
     ds = jnp.arange(2 * L, 0, -1, dtype=jnp.int32)
-    _, ops_rev = jax.lax.scan(
-        step,
-        (read_len.astype(jnp.int32), ref_len.astype(jnp.int32),
-         jnp.zeros((B,), jnp.int32)),
-        (ds, jnp.flip(ptrs, axis=0)),
-    )
+    init = (read_len.astype(jnp.int32), ref_len.astype(jnp.int32),
+            jnp.zeros((B,), jnp.int32))
+    if want_mask:
+        init = init + (jnp.zeros((B,), jnp.int32), jnp.zeros((B, L), bool))
+    carry, ops_rev = jax.lax.scan(step, init, (ds, jnp.flip(ptrs, axis=0)))
     # ops_rev: [2L, B] in traceback (reverse-alignment) order
+    if want_mask:
+        i, _, _, run, mask = carry
+        # flush a run still open at the end of the scan (alignment starts
+        # with '=' at read position 0)
+        mask = mask | (
+            ((run >= match_mask_threshold) & (run > 0))[:, None]
+            & (ww0 >= i[:, None]) & (ww0 < (i + run)[:, None])
+        )
+        return penalty, ops_rev.T, mask
     return penalty, ops_rev.T

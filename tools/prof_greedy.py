@@ -118,6 +118,8 @@ def main():
     fcs = jnp.asarray(np.asarray(fc)[perm])
     fls = jnp.asarray(np.asarray(fl)[perm])
 
+    import sys as _sys
+    which = _sys.argv[2].split(",") if len(_sys.argv) > 2 else None
     print(f"B={B}")
     for name, fn, args in [
         ("prologue_r1", prologue_r1, (rc, fc)),
@@ -126,8 +128,11 @@ def main():
         ("full_step", full_step, (rc, rl, fc, fl)),
         ("full_step_sorted", full_step, (rcs, rls, fcs, fls)),
     ]:
+        if which and name not in which:
+            continue
         t = bench(fn, *args)
-        print(f"{name:18s} {t*1e3:8.2f} ms   {B/t/1e6:7.1f}M pairs/s")
+        print(f"{name:18s} {t*1e3:8.2f} ms   {B/t/1e6:7.1f}M pairs/s",
+              flush=True)
 
 
 if __name__ == "__main__":
