@@ -51,27 +51,20 @@ def build_index(ref_codes: np.ndarray, out_path: str | None = None) -> FMIndex:
     return idx
 
 
-def _candidates_for_read(idx, codes, length, mcfg: MapperConfig):
-    """Pigeonhole candidate start positions (deduped, sorted)."""
-    e = mcfg.max_errors
-    n_seeds = e + 1
-    if length < n_seeds:
-        return []
-    seed_len = length // n_seeds
-    cands = set()
-    for s in range(n_seeds):
-        off = s * seed_len
-        pat = codes[off: off + seed_len]
-        lo, hi = idx.search(pat)
-        if hi - lo > mcfg.max_hits_per_seed:
-            continue  # over-repetitive seed (reference: search cfg caps)
-        for pos in idx.locate(lo, hi, mcfg.max_hits_per_seed):
-            start = int(pos) - off
-            if start >= -e:
-                cands.add(max(start, 0))
-        if len(cands) >= mcfg.max_candidates:
-            break
-    return sorted(cands)[: mcfg.max_candidates]
+def _candidates_batch(idx, read_codes, read_lens, mcfg: MapperConfig):
+    """Pigeonhole candidate starts for the whole batch: ONE native call
+    (asm_fm_candidates) instead of per-seed ctypes round-trips; seeds
+    whose SA range exceeds max_hits_per_seed are evenly SAMPLED across
+    the range — a true site in a repeat region stays reachable where a
+    silent skip would lose it (cf. SeqAn3 enumerating every hit,
+    mapper/main.cpp:67-77)."""
+    return idx.candidates_batch(
+        read_codes,
+        read_lens,
+        max_errors=mcfg.max_errors,
+        max_hits_per_seed=mcfg.max_hits_per_seed,
+        max_candidates=mcfg.max_candidates,
+    )
 
 
 def map_reads(
@@ -90,13 +83,13 @@ def map_reads(
     ref_len_total = ref_codes.shape[0]
     align_fn = jax.jit(functools.partial(greedy_align, cfg=mcfg.align))
 
-    # gather candidate (read, window) pairs host-side
-    jobs = []  # (read_idx, ref_start)
-    for ri in range(n_reads):
-        for start in _candidates_for_read(
-            idx, read_codes[ri], int(read_lens[ri]), mcfg
-        ):
-            jobs.append((ri, start))
+    # gather candidate (read, window) pairs — one native call per batch
+    starts, counts = _candidates_batch(idx, read_codes, read_lens, mcfg)
+    jobs = [
+        (ri, int(starts[ri, t]))
+        for ri in range(n_reads)
+        for t in range(int(counts[ri]))
+    ]
 
     best = [None] * n_reads
     if jobs:

@@ -81,6 +81,11 @@ def _configure(lib):
     lib.asm_fm_locate.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64, c.c_int64, i64p,
     ]
+    lib.asm_fm_candidates.restype = c.c_int64
+    lib.asm_fm_candidates.argtypes = [
+        c.c_void_p, i8p, i32p, c.c_int64, c.c_int32, c.c_int32,
+        c.c_int32, c.c_int32, i64p, i32p,
+    ]
     lib.asm_fm_save.restype = c.c_int32
     lib.asm_fm_save.argtypes = [c.c_void_p, c.c_char_p]
     lib.asm_fm_load.restype = c.c_void_p
@@ -256,6 +261,28 @@ class FMIndex:
         pos = np.empty(cap, np.int64)
         k = self._lib.asm_fm_locate(self._h, lo, hi, cap, pos)
         return pos[:k].copy()
+
+    def candidates_batch(
+        self,
+        read_codes: np.ndarray,
+        read_lens: np.ndarray,
+        max_errors: int = 3,
+        max_hits_per_seed: int = 16,
+        max_candidates: int = 64,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Pigeonhole candidate starts for a WHOLE read batch in one
+        native call (repetitive seeds sampled, not skipped — see
+        asm_fm_candidates in fmindex.cpp). Returns (starts int64
+        [n, max_candidates], counts int32 [n])."""
+        n, stride = read_codes.shape
+        starts = np.zeros((n, max_candidates), np.int64)
+        counts = np.zeros(n, np.int32)
+        self._lib.asm_fm_candidates(
+            self._h, np.ascontiguousarray(read_codes, np.int8),
+            np.ascontiguousarray(read_lens, np.int32), n, stride,
+            max_errors, max_hits_per_seed, max_candidates, starts, counts,
+        )
+        return starts, counts
 
     def __del__(self):
         try:

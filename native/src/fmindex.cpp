@@ -131,6 +131,65 @@ int64_t asm_fm_locate(void* h, int64_t lo, int64_t hi, int64_t cap,
     return k;
 }
 
+// Batched pigeonhole candidate generation: ONE call per read batch
+// (replaces a Python loop of per-seed search+locate ctypes calls). For
+// each read, split into max_errors+1 seeds (pigeonhole: a read with <= e
+// errors has an error-free seed), exact-search each seed, and emit
+// candidate window starts. Over-repetitive seeds (SA range larger than
+// max_hits_per_seed) are SAMPLED evenly across the range rather than
+// skipped — a true site inside a repeat region stays represented (the
+// reference's SeqAn3 search enumerates every hit, mapper/main.cpp:67-77;
+// sampling + batched TPU rescoring is the scalable middle ground).
+// Outputs: out_starts [n_reads * max_cands], out_counts [n_reads].
+int64_t asm_fm_candidates(void* h, const int8_t* reads, const int32_t* lens,
+                          int64_t n_reads, int32_t stride,
+                          int32_t max_errors, int32_t max_hits_per_seed,
+                          int32_t max_cands, int64_t* out_starts,
+                          int32_t* out_counts) {
+    const FMIndex& f = *(FMIndex*)h;
+    int64_t total = 0;
+    std::vector<int64_t> cands;
+    for (int64_t r = 0; r < n_reads; r++) {
+        cands.clear();
+        const int8_t* codes = reads + r * stride;
+        int32_t length = lens[r];
+        int32_t n_seeds = max_errors + 1;
+        out_counts[r] = 0;
+        if (length < n_seeds || length > stride) continue;
+        int32_t seed_len = length / n_seeds;
+        for (int32_t s = 0; s < n_seeds; s++) {
+            int32_t off = s * seed_len;
+            int64_t lo = 0, hi = f.n;
+            for (int32_t p = off + seed_len - 1; p >= off && lo < hi; p--) {
+                int c = (codes[p] & 3) + 1;
+                lo = f.C[c] + occ_at(f, c, lo);
+                hi = f.C[c] + occ_at(f, c, hi);
+            }
+            int64_t range = hi - lo;
+            if (range <= 0) continue;
+            // evenly sample oversize ranges instead of dropping the seed
+            int64_t take = range <= max_hits_per_seed ? range
+                                                      : max_hits_per_seed;
+            for (int64_t t = 0; t < take; t++) {
+                int64_t i = lo + (range <= max_hits_per_seed
+                                      ? t
+                                      : (t * range) / take);
+                int64_t start = (int64_t)f.sa[i] - off;
+                if (start >= -(int64_t)max_errors)
+                    cands.push_back(start < 0 ? 0 : start);
+            }
+        }
+        std::sort(cands.begin(), cands.end());
+        cands.erase(std::unique(cands.begin(), cands.end()), cands.end());
+        int32_t k = (int32_t)std::min<int64_t>(cands.size(), max_cands);
+        for (int32_t t = 0; t < k; t++)
+            out_starts[r * max_cands + t] = cands[t];
+        out_counts[r] = k;
+        total += k;
+    }
+    return total;
+}
+
 // ---- serialization (the reference uses cereal, indexer.cpp:35-44) ------
 
 int32_t asm_fm_save(void* h, const char* path) {

@@ -102,3 +102,87 @@ def test_v1_demo_pair_smoke():
     cost = GasmaV1Ref(a, b, 7, threshold=3,
                       cross_hurdle_threshold=0).edit_distance()
     assert 0 < cost < 60
+
+
+# ---- P6: generalized LEAP with pluggable hooks --------------------------
+
+def _rand_pairs(rng, n, length):
+    bases = "ACGT"
+    return [
+        ("".join(rng.choice(list(bases), length)),
+         "".join(rng.choice(list(bases), length)))
+        for _ in range(n)
+    ]
+
+
+def test_leap_generalized_matches_original_on_working_domain(originals):
+    """The original prototype (LEAP.py) crashes with IndexError whenever a
+    match run reaches 6 (unwrapped de Bruijn index, LEAP.py:112-116); on
+    inputs where it runs, our exact-scan emulator must agree."""
+    import contextlib
+    import io
+
+    sys.path.insert(0, REF)
+    sys.path.insert(0, REF + "/pymatch")
+    try:
+        from pymatch.algorithms.LEAP import LEAP
+    finally:
+        sys.path.remove(REF)
+        sys.path.remove(REF + "/pymatch")
+    from asm_tpu.reference_impl.leap_proto_ref import LeapGeneralizedRef
+
+    rng = np.random.default_rng(7)
+    compared = crashed = 0
+    unit_leap = lambda l_, l: 1  # custom pluggable penalty
+    for a, b in _rand_pairs(rng, 40, 12):
+        for pen in (None, unit_leap):
+            try:
+                with contextlib.redirect_stdout(io.StringIO()):
+                    orig = LEAP(a, b, 2, 14, penalty=pen)
+                    want = orig.editDistance()
+                    want_state = (orig.finalLane, orig.finalEnergy)
+            except IndexError:
+                crashed += 1
+                continue
+            ours = LeapGeneralizedRef(a, b, 2, 14, penalty=pen)
+            got = ours.edit_distance()
+            assert got == want, (a, b, pen)
+            if want:
+                assert (ours.final_lane, ours.final_energy) == want_state, \
+                    (a, b, pen)
+            compared += 1
+    assert compared >= 30, f"too few comparable pairs ({compared})"
+
+
+def test_leap_generalized_demo_pair(originals):
+    """The original's __main__ demo (LEAP.py:189-194)."""
+    from asm_tpu.reference_impl.leap_proto_ref import LeapGeneralizedRef
+
+    p = LeapGeneralizedRef("ACTAGAACTT", "ACTTAGCACT", 2, 10)
+    assert p.edit_distance()
+    assert (p.final_lane, p.final_energy) == (0, 5)
+
+
+def test_leap_generalized_survives_long_runs():
+    """Where the original raises IndexError, the emulator still runs —
+    the documented fix of the unwrapped de Bruijn quirk."""
+    from asm_tpu.reference_impl.leap_proto_ref import LeapGeneralizedRef
+
+    p = LeapGeneralizedRef("ACGTACGTAA", "ACGTACGTTA", 2, 20)
+    assert p.edit_distance()  # one mismatch, clean-lane crawl converges
+
+
+def test_leap_generalized_multi_origin_destination():
+    from asm_tpu.reference_impl.leap_proto_ref import LeapGeneralizedRef
+
+    a, b = "ACGTTGCA", "CGTTGCAA"
+    # free choice of starting/ending lane (the prototype's multi-origin
+    # form, LEAP.py:34-38)
+    p = LeapGeneralizedRef(
+        a, b, 2, 20,
+        origin_lanes={-1: 0, 0: 0, 1: 0},
+        destination_lanes={-1: len(a), 0: len(a), 1: len(a)},
+    )
+    q = LeapGeneralizedRef(a, b, 2, 20)
+    assert p.edit_distance() and q.edit_distance()
+    assert p.final_energy <= q.final_energy

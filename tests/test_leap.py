@@ -67,6 +67,25 @@ def test_leap_local_mode():
         assert shift[i] == e_shift, f"pair {i}"
 
 
+def test_leap_semi_free_modes():
+    """SEMI_FREE_BEGIN (free start lanes, converge-ED corrected like
+    GLOBAL — LV_BAG.cpp:103,221) and SEMI_FREE_END (anchored start, free
+    end — LV_BAG.cpp:236-240) against the emulator, which is itself
+    pinned to the compiled LV in tools/validate_vs_reference.py."""
+    for mode in (LeapMode.SEMI_FREE_BEGIN, LeapMode.SEMI_FREE_END):
+        cfg = AlignConfig(k=3, leap_mode=mode, leap_af_threshold=200)
+        reads, refs = generate_dataset(24, 80, 0.12, 0.9,
+                                       seed=60 + int(mode))
+        passed, pen, shift = _run_batch(reads, refs, cfg)
+        for i in range(len(reads)):
+            e_pass, e_ed, e_shift = leap_ref(
+                reads[i], refs[i], k=3, af_threshold=200, mode=mode,
+            )
+            assert passed[i] == e_pass, f"{mode.name} pair {i}"
+            assert pen[i] == e_ed, f"{mode.name} pair {i}"
+            assert shift[i] == e_shift, f"{mode.name} pair {i}"
+
+
 def test_leap_tight_threshold_fails_noisy_pairs():
     """With a tiny energy budget, high-error pairs must NOT pass."""
     cfg = AlignConfig(k=3, leap_af_threshold=2)

@@ -149,3 +149,34 @@ def test_native_coverage_matches_python():
          for i in range(128)], bool,
     )
     np.testing.assert_array_equal(got, exp)
+
+
+def test_repeat_region_read_still_maps(tmp_path):
+    """A read whose EVERY pigeonhole seed lands inside a high-copy repeat
+    must still map: the old candidate generator silently SKIPPED seeds
+    with oversize SA ranges (losing the site entirely); sampling the SA
+    range keeps repeat copies represented and rescoring picks a best-cost
+    placement (cf. SeqAn3 enumerating every hit, mapper/main.cpp:67-77)."""
+    from asm_tpu.mapper.core import MapperConfig, build_index, map_reads
+    from asm_tpu.encoding import encode_string, PAD_READ
+
+    rng = np.random.default_rng(9)
+    unit = "ACGTTGCATCGATCAGGTCCAATGCCGTAGGACTTACGGA"  # 40 bp repeat unit
+    copies = 64  # SA range of any seed ~64 >> max_hits_per_seed
+    genome = unit * copies
+    ref_codes = encode_string(genome, len(genome), pad=5).astype(np.int8)
+
+    # read = two units straight out of the repeat (error-free)
+    read = unit * 2
+    rc = encode_string(read, 128, pad=PAD_READ)[None, :].astype(np.int8)
+    rl = np.array([len(read)], np.int32)
+
+    idx = build_index(ref_codes)
+    mcfg = MapperConfig(max_errors=3, max_hits_per_seed=8,
+                        max_candidates=32)
+    best, sam = map_reads(idx, ref_codes, rc, rl, mcfg=mcfg)
+    assert best[0] is not None, "repeat-region read went unmapped"
+    # an error-free placement exists at every unit boundary; the mapper
+    # must find one at cost 0
+    assert best[0]["cost"] == 0
+    assert best[0]["pos"] % len(unit) == 0

@@ -47,10 +47,11 @@ int main(int argc, char** argv) {
     int o = argc > 3 ? atoi(argv[3]) : 1;
     int e = argc > 4 ? atoi(argv[4]) : 1;
     int af = argc > 5 ? atoi(argv[5]) : 200;
+    int mode = argc > 6 ? atoi(argv[6]) : (int)ED_GLOBAL;
     std::string a, b;
     auto* matrix = new hurdle_matrix<int_128bit>(GLOBAL, x, o, e);
     auto* lv = new LV();
-    lv->init(k, af, ED_GLOBAL, x, o, e);
+    lv->init(k, af, (ED_modes)mode, x, o, e);
     while (std::getline(std::cin, a) && std::getline(std::cin, b)) {
         matrix->reset((char*)a.c_str(), (int)a.length(),
                       (char*)b.c_str(), (int)b.length(), k);
@@ -274,6 +275,29 @@ def main():
             ok = False
         if lb > 0:
             ok = False
+
+    # all four LV_BAG modes (LV_BAG.h:38) — pins SEMI_FREE_BEGIN/END
+    from asm_tpu.config import LeapMode
+
+    for lm in (LeapMode.LOCAL, LeapMode.SEMI_FREE_BEGIN,
+               LeapMode.SEMI_FREE_END):
+        reads, refs = generate_dataset(200, 100, 0.10, 0.96, seed=31)
+        inp = "".join(f"{a}\n{b}\n" for a, b in zip(reads, refs))
+        out = subprocess.run(
+            [driver, "3", "1", "1", "1", "200", str(int(lm))],
+            input=inp, capture_output=True, text=True,
+        ).stdout.strip().split("\n")
+        mm = 0
+        for i, line in enumerate(out):
+            parts = line.split()
+            rpass, red = int(parts[2]), int(parts[3])
+            lp, led, _ = leap_ref(reads[i], refs[i], k=3, af_threshold=200,
+                                  mode=lm)
+            mm += (int(lp), led) != (rpass, red)
+        print(f"leap mode={lm.name}: mism {mm}/200")
+        if mm > 0:
+            ok = False
+
     if not validate_shd():
         ok = False
     print("VALIDATION", "OK" if ok else "FAILED")
