@@ -42,6 +42,10 @@ def main():
     p.add_argument("--mismatch-rate", type=float, default=0.96)
     p.add_argument("--file", type=str, default=None,
                    help="read pairs from a '>read/<ref' file instead")
+    p.add_argument("--real-profile", action="store_true",
+                   help="use the SRR611076-profile synthetic corpus "
+                        "(README.md:70-76 error rates) instead of the "
+                        "WFA-style rate sweep")
     p.add_argument("--x", type=int, default=1)
     p.add_argument("--o", type=int, default=1)
     p.add_argument("--e", type=int, default=1)
@@ -63,6 +67,16 @@ def main():
     if args.file:
         reads, refs = read_pair_file(args.file, max_tests=args.pairs)
         corpora = [(f"file:{args.file}", encode_batch(reads, refs, cfg.max_len))]
+    elif args.real_profile:
+        from asm_tpu.data.generator import generate_real_profile_arrays
+
+        corpora = [(
+            "real-profile (SRR611076 rates)",
+            generate_real_profile_arrays(
+                args.pairs, args.length, seed=args.seed,
+                max_len=cfg.max_len,
+            ),
+        )]
     else:
         errs = args.err or [0.05, 0.10, 0.15, 0.20]
         corpora = [

@@ -132,47 +132,37 @@ def pack_bitplanes(codes: jax.Array) -> tuple[jax.Array, jax.Array]:
     return plane0, plane1
 
 
-def pack_planes_swar(codes: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Fast (bit0, bit1, valid) planes uint32[B, L/32] from int8 codes [B, L].
+def pack_planes_t(codes: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(bit0, bit1, valid) planes, WORD-MAJOR uint32[L/32, B], from int8
+    codes [B, L].
 
-    Same plane layout as pack_bitplanes plus a validity plane (bit p set iff
-    code 32*w+p is a real base < 4), computed entirely with word-parallel
-    integer ops — the TPU analogue of the reference's in-register shuffle
-    transpose (sse3_convert2bit1, GASMA/bit_convert.cpp:248-369). A
-    reduce-based pack ([.., W, 32] weighted sum) forces a 32-lane minor
-    dimension that TPUs pad 4x and stream badly (measured ~4x slower than
-    the whole alignment kernel); this formulation never leaves the natural
-    [B, L/4] int32 layout:
+    Same plane bit layout as pack_bitplanes plus a validity plane (bit p
+    set iff code 32*w+p is a real base < 4 — every sentinel PAD_READ=4,
+    PAD_REF=5, PAD_SHIFT=6 has bit2 set, so "valid" is one AND) — the TPU
+    analogue of the reference's in-register shuffle transpose
+    (sse3_convert2bit1, GASMA/bit_convert.cpp:248-369).
 
-      1. bitcast 4 consecutive int8 codes into one int32 (byte k = code
-         4j+k in the low-to-high byte order bitcast_convert_type defines);
-      2. isolate one bit per byte (bit0 / bit1 / NOT bit2 — every sentinel
-         PAD_READ=4, PAD_REF=5, PAD_SHIFT=6 has bit2 set, real codes 0..3
-         do not, so "valid" is one AND);
-      3. compact the 4 one-bit bytes into one nibble with a carry-free
-         multiply: bits {0,8,16,24} * 0x01020408 lands them at bits
-         {24,25,26,27} with no colliding partial products;
-      4. a 3-step shift-OR tree over strided lane slices merges 8 nibbles
-         into each output uint32 word.
+    Layout is everything here: any pack that reduces/slices along the
+    POSITION axis while positions sit in the minor (lane) dimension makes
+    the TPU pad 32-element minors to 128 lanes and relayout every step
+    (measured slower than the whole alignment kernel). So the codes are
+    transposed once to position-major [L, B] — minor dim = batch, the
+    natural vector axis — and each output word is a 32-row shift-OR chain
+    of full-width rows, which XLA fuses into one pass per output.
     """
-    B = codes.shape[0]
-    L = codes.shape[-1]
+    B, L = codes.shape
     assert L % 32 == 0, "bitplane packing requires L % 32 == 0"
-    v = jax.lax.bitcast_convert_type(
-        codes.reshape(B, L // 4, 4), jnp.uint32
-    )  # uint32[B, L/4], byte k of word j = code 4j+k
-    one = jnp.uint32(0x01010101)
-    t0 = v & one
-    t1 = (v >> 1) & one
-    tv = (~v >> 2) & one
-
-    def nib(t):
-        # bits {0,8,16,24} -> contiguous nibble at bits 24..27 (b0 lowest)
-        return ((t * jnp.uint32(0x01020408)) >> 24) & jnp.uint32(0xF)
-
-    def tree(n):
-        a = n[..., 0::2] | (n[..., 1::2] << 4)
-        a = a[..., 0::2] | (a[..., 1::2] << 8)
-        return a[..., 0::2] | (a[..., 1::2] << 16)
-
-    return tree(nib(t0)), tree(nib(t1)), tree(nib(tv))
+    W = L // 32
+    ct = codes.T.astype(jnp.uint32)  # [L, B] position-major
+    out0, out1, outv = [], [], []
+    for w in range(W):
+        acc0 = acc1 = accv = jnp.zeros((B,), jnp.uint32)
+        for b in range(32):
+            c = ct[32 * w + b]
+            acc0 = acc0 | ((c & 1) << b)
+            acc1 = acc1 | (((c >> 1) & 1) << b)
+            accv = accv | (((~c >> 2) & 1) << b)
+        out0.append(acc0)
+        out1.append(acc1)
+        outv.append(accv)
+    return jnp.stack(out0), jnp.stack(out1), jnp.stack(outv)

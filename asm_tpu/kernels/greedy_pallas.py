@@ -17,17 +17,26 @@ first_zero / first_one / popcount queries are ctz/popcount word math
 Each tile's while_loop exits when ITS OWN pairs are done, so the
 worst-case step count is a per-tile max, not a global-batch max.
 
-Inputs arrive as word-major packed planes [W, NB, 128] uint32 — two 2-bit
-code planes plus one validity plane per sequence (the reference's two
-__m128i bit-planes from sse3_convert2bit1, bit_convert.cpp:248-369, plus an
-explicit valid plane replacing its stale-buffer reads past string ends).
-Each hurdle lane row is then a funnel shift of one side's three planes by
-|lane| bits + XOR/OR/AND word math (_construct_hurdles,
-hurdle_matrix.h:441-455) — ~15 word ops per lane row instead of the 32
-compare-shift-OR triples per word a code-compare build costs. The CIGAR
-step records leave as one packed int32 per step (dl in the low 16 bits,
-advance in the high 16) and are expanded to the standard (op, run) slot
-buffers in XLA.
+Inputs arrive pre-transposed as position-major uint32 SWAR words
+[L/4, NB, 128] (byte j of word = code of position 4w+j — one XLA bitcast,
+no layout change). The kernel packs them ONCE into two bit-planes per
+sequence — bit0/bit1 of the 2-bit code, the reference's two __m128i
+planes from sse3_convert2bit1 (bit_convert.cpp:248-369) — using a
+carry-free multiply that compacts the four one-bit bytes of each SWAR
+word into a nibble (~6 ops per 4 positions). There is NO packed validity
+plane: by the encoding contract (encoding.py:12-16) sentinels start
+exactly at the true length, so "position invalid" is the closed-form
+length mask mask_ge(len - shift) — and the per-lane funnel shift of a
+length mask is just the mask of (len - shift), so validity costs one OR
+per lane row instead of a third packed plane. Each hurdle lane row is a
+funnel shift of one side's two planes by |lane| bits + XOR/OR word math
+(_construct_hurdles, hurdle_matrix.h:441-455). Packing lives in-kernel
+because every XLA-side formulation tried (reduce over a [.., W, 32]
+minor axis, bitcast+SWAR-multiply trees, transpose-then-row-OR chains)
+lowered to relayout-heavy HLO that cost more than this whole kernel.
+The CIGAR step records leave as one packed int32 per step (dl in the low
+16 bits, advance in the high 16) and are expanded to the standard
+(op, run) slot buffers in XLA.
 """
 
 from __future__ import annotations
@@ -40,7 +49,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from asm_tpu.config import AlignConfig, AlignmentType
-from asm_tpu.encoding import pack_planes_swar
 
 OP_M = 5
 OP_I = 3
@@ -57,8 +65,7 @@ def _ctz32(w):
     return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
 
 
-def _greedy_kernel(cfg: AlignConfig, r0_ref, r1_ref, rv_ref, f0_ref, f1_ref,
-                   fv_ref, rl_ref, fl_ref,
+def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
                    cost_ref, steps_ref, rec_ref, st_ref, lane_ref):
     k = cfg.k
     NL = cfg.num_lanes
@@ -73,22 +80,60 @@ def _greedy_kernel(cfg: AlignConfig, r0_ref, r1_ref, rv_ref, f0_ref, f1_ref,
     n = jnp.minimum(fl_ref[...], L)
     shape = m.shape  # [_SUB, 128]
 
-    # ---- build hurdle rows from packed bit-planes ----------------------
-    # bit p of word w = position 32*w + p. Per lane, ONE side's planes are
-    # funnel-shifted right by |lane| bits (shift toward position 0 — the
-    # reference's shift_right on its bit-planes, hurdle_matrix.h:444-449);
-    # hurdle = (bit0 planes differ) | (bit1 planes differ) | (either
-    # position invalid). The validity planes make every padding/overhang
-    # position a hurdle — deterministic where the reference compares stale
-    # buffer bytes (hurdle_matrix.h:497) — and zeros funnel-shifted in past
-    # word W-1 read as invalid, matching the PAD_SHIFT sentinel semantics.
-    r_pl = ([r0_ref[w] for w in range(W)],
-            [r1_ref[w] for w in range(W)],
-            [rv_ref[w] for w in range(W)])
-    f_pl = ([f0_ref[w] for w in range(W)],
-            [f1_ref[w] for w in range(W)],
-            [fv_ref[w] for w in range(W)])
+    # ---- packed-word masks (shared by pack, hurdle build, queries) ------
+    def mask_ge(c, w):
+        low = jnp.clip(c - 32 * w, 0, 32)
+        msk = jnp.uint32(FULL) << jnp.minimum(low, 31).astype(jnp.uint32)
+        return jnp.where(low >= 32, jnp.uint32(0), msk)
+
+    def masks_ge(c):
+        return [mask_ge(c, w) for w in range(W)]
+
+    # ---- pack SWAR code words into bit-planes, once per tile ------------
+    # bit p of output word w = position 32*w + p (the reference's
+    # little-endian plane order, sse3_convert2bit1). Input word j carries
+    # codes of positions 4j..4j+3 in its bytes; one AND isolates bit0 (or
+    # bit1) of each byte at bit {0,8,16,24}, and the carry-free multiply
+    # by 0x01020408 lands those four bits contiguously at 24..27 with no
+    # colliding partial products (nothing else reaches bits 24..31).
+    M1 = jnp.uint32(0x01010101)
+    MM = jnp.uint32(0x01020408)
+
+    def pack2(ref):
+        p0, p1 = [], []
+        for w in range(W):
+            a0 = a1 = None
+            for jj in range(8):
+                v = ref[8 * w + jj]
+                n0 = ((v & M1) * MM) >> 24
+                n1 = (((v >> 1) & M1) * MM) >> 24
+                if jj == 0:
+                    a0, a1 = n0, n1
+                else:
+                    s = jnp.uint32(4 * jj)
+                    a0 = a0 | (n0 << s)
+                    a1 = a1 | (n1 << s)
+            p0.append(a0)
+            p1.append(a1)
+        return p0, p1
+
+    r_pl = pack2(rc_ref)
+    f_pl = pack2(fc_ref)
     zero_u = jnp.zeros(shape, jnp.uint32)
+
+    # ---- build hurdle rows from the packed planes -----------------------
+    # Per lane, ONE side's planes are funnel-shifted right by |lane| bits
+    # (shift toward position 0 — the reference's shift_right on its
+    # bit-planes, hurdle_matrix.h:444-449); hurdle = (bit0 planes differ)
+    # | (bit1 planes differ) | (either position invalid). Validity is
+    # closed-form: position p of the shifted-by-s sequence is valid iff
+    # p < len - s, i.e. invalid = mask_ge(len - s) — every padding /
+    # overhang position becomes a hurdle, deterministic where the
+    # reference compares stale buffer bytes (hurdle_matrix.h:497), and
+    # zeros funnel-shifted in past word W-1 land at positions >= L - s
+    # >= len - s, so they too read as hurdles (the PAD_SHIFT semantics).
+    inv_r = [masks_ge(m - s) for s in range(k + 1)]
+    inv_f = [masks_ge(n - s) for s in range(k + 1)]
 
     def funnel(words, s):
         """Shift a packed row right by s bits: result bit p = input bit p+s."""
@@ -104,10 +149,11 @@ def _greedy_kernel(cfg: AlignConfig, r0_ref, r1_ref, rv_ref, f0_ref, f1_ref,
     for lane in range(-k, k + 1):
         a_off = max(-lane, 0)
         b_off = max(lane, 0)
-        a0, a1, av = (funnel(p, a_off) for p in r_pl)
-        b0, b1, bv = (funnel(p, b_off) for p in f_pl)
+        a0, a1 = (funnel(p, a_off) for p in r_pl)
+        b0, b1 = (funnel(p, b_off) for p in f_pl)
         orig.append([
-            (a0[w] ^ b0[w]) | (a1[w] ^ b1[w]) | ~(av[w] & bv[w])
+            (a0[w] ^ b0[w]) | (a1[w] ^ b1[w])
+            | inv_r[a_off][w] | inv_f[b_off][w]
             for w in range(W)
         ])
 
@@ -134,14 +180,6 @@ def _greedy_kernel(cfg: AlignConfig, r0_ref, r1_ref, rv_ref, f0_ref, f1_ref,
         den.append(words)
 
     # ---- packed-word queries -------------------------------------------
-    def mask_ge(c, w):
-        low = jnp.clip(c - 32 * w, 0, 32)
-        msk = jnp.uint32(FULL) << jnp.minimum(low, 31).astype(jnp.uint32)
-        return jnp.where(low >= 32, jnp.uint32(0), msk)
-
-    def masks_ge(c):
-        return [mask_ge(c, w) for w in range(W)]
-
     def first_set_from(words, c=None, invert=False, lo_masks=None):
         lo_masks = lo_masks if lo_masks is not None else masks_ge(c)
         best = jnp.full(shape, L, jnp.int32)
@@ -440,29 +478,31 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
         ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
 
     NB = BP // 128
-    W = L // 32
-    # word-major packed planes [W, NB, 128] uint32: 2-bit code planes
-    # (pack_planes_swar == sse3_convert2bit1's layout for 32-bit TPU words)
-    # + a validity plane (code < 4, i.e. a real base, not padding)
-    r0, r1, rv = pack_planes_swar(read_codes)
-    f0, f1, fv = pack_planes_swar(ref_codes)
-
-    def tr(p):  # [BP, W] -> [W, NB, 128]
-        return p.T.reshape(W, NB, 128)
-
+    # position-major SWAR code words [L/4, NB, 128] uint32 (byte j = code
+    # of position 4w+j; the in-kernel pack compacts them into bit-planes
+    # once per tile — see module docstring). Bitcasting 4 int8 codes per
+    # word keeps the transposed copies at 1 byte per position so
+    # multi-million-pair chunks fit in HBM.
+    rc4 = jax.lax.bitcast_convert_type(
+        read_codes.reshape(BP, L // 4, 4), jnp.uint32
+    )
+    fc4 = jax.lax.bitcast_convert_type(
+        ref_codes.reshape(BP, L // 4, 4), jnp.uint32
+    )
+    rc_t = rc4.T.reshape(L // 4, NB, 128)
+    fc_t = fc4.T.reshape(L // 4, NB, 128)
     rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
-    plane_spec = pl.BlockSpec((W, _SUB, 128), lambda i: (0, i, 0),
-                              memory_space=pltpu.VMEM)
+    code_spec = pl.BlockSpec((L // 4, _SUB, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
     grid = (NB // _SUB,)
     kernel = functools.partial(_greedy_kernel, cfg)
     cost, steps, rec = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            plane_spec, plane_spec, plane_spec,
-            plane_spec, plane_spec, plane_spec,
+            code_spec, code_spec,
             pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
@@ -486,7 +526,7 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
             pltpu.VMEM((3 * cfg.num_lanes, _SUB, 128), jnp.int32),  # lane_ref
         ],
         interpret=interpret,
-    )(tr(r0), tr(r1), tr(rv), tr(f0), tr(f1), tr(fv), rl_t, fl_t)
+    )(rc_t, fc_t, rl_t, fl_t)
 
     cost = cost.reshape(BP)[:B]
     steps = steps.reshape(BP)[:B]

@@ -55,3 +55,21 @@ def test_array_and_string_generators_share_error_budget():
     # at mismatch_rate .96 with 16 errors, some pair in 64 should carry
     # at least one indel; none may exceed the budget
     assert np.any(fl != 100)
+
+
+def test_real_profile_corpus_rates():
+    """The SRR611076 stand-in must realize the published per-base rates
+    (README.md:70-76) within sampling error."""
+    from asm_tpu.data.generator import generate_real_profile_arrays
+
+    rc, rl, fc, fl = generate_real_profile_arrays(4000, 100, seed=5)
+    assert rc.shape == (4000, 128)
+    # indels shift lengths both ways
+    assert fl.min() < 100 < fl.max()
+    # realized mismatch rate on equal-length pairs (no indel interference)
+    same = fl == 100
+    mis = (rc[same, :100] != fc[same, :100]).mean()
+    assert 0.020 < mis < 0.030, mis
+    # ~0.1% per-base indel rate -> ~0.1 events/read -> ~400 affected reads
+    n_indel = int((fl != 100).sum())
+    assert 200 < n_indel < 600, n_indel

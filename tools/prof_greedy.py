@@ -88,21 +88,21 @@ def main():
                 out = out + p.reshape(W, NB, 128)[0, 0, 0].astype(jnp.int32)
         return out
 
-    from asm_tpu.encoding import pack_planes_swar
+    from asm_tpu.encoding import pack_planes_t
     from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
     from asm_tpu.parallel.schedule import difficulty_order
 
     @jax.jit
     def prologue_swar(rc, fc):
         out = 0
-        for p in pack_planes_swar(rc) + pack_planes_swar(fc):
+        for p in pack_planes_t(rc) + pack_planes_t(fc):
             out = out + p.T.reshape(W, NB, 128)[0, 0, 0].astype(jnp.int32)
         return out
 
     @jax.jit
     def prologue_swar_notr(rc, fc):
         out = 0
-        for p in pack_planes_swar(rc) + pack_planes_swar(fc):
+        for p in pack_planes_t(rc) + pack_planes_t(fc):
             out = out + p[0, 0].astype(jnp.int32)
         return out
 
@@ -118,19 +118,37 @@ def main():
     fcs = jnp.asarray(np.asarray(fc)[perm])
     fls = jnp.asarray(np.asarray(fl)[perm])
 
+    @jax.jit
+    def full_step_sum(rc, rl, fc, fl):
+        # ONE dispatch: kernel + checksum (what bench.py times per chunk)
+        out = greedy_align_pallas(rc, rl, fc, fl, cfg, want_cigar=False)
+        return jnp.sum(out["cost"])
+
+    def bench_scalar(fn, *args, reps=10):
+        np.asarray(fn(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     import sys as _sys
     which = _sys.argv[2].split(",") if len(_sys.argv) > 2 else None
     print(f"B={B}")
-    for name, fn, args in [
-        ("prologue_r1", prologue_r1, (rc, fc)),
-        ("prologue_swar", prologue_swar, (rc, fc)),
-        ("prologue_swar_notr", prologue_swar_notr, (rc, fc)),
-        ("full_step", full_step, (rc, rl, fc, fl)),
-        ("full_step_sorted", full_step, (rcs, rls, fcs, fls)),
+    for name, fn, args, brun in [
+        ("prologue_r1", prologue_r1, (rc, fc), bench),
+        ("prologue_swar", prologue_swar, (rc, fc), bench),
+        ("prologue_swar_notr", prologue_swar_notr, (rc, fc), bench),
+        ("full_step", full_step, (rc, rl, fc, fl), bench),
+        ("full_step_sorted", full_step, (rcs, rls, fcs, fls), bench),
+        ("step_sum", full_step_sum, (rc, rl, fc, fl), bench_scalar),
+        ("step_sum_sorted", full_step_sum, (rcs, rls, fcs, fls),
+         bench_scalar),
     ]:
         if which and name not in which:
             continue
-        t = bench(fn, *args)
+        t = brun(fn, *args)
         print(f"{name:18s} {t*1e3:8.2f} ms   {B/t/1e6:7.1f}M pairs/s",
               flush=True)
 
