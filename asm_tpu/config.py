@@ -69,8 +69,12 @@ class AlignConfig:
          var is swallowed by environments that preload jax). float32
          otherwise (default). NOTE: even float64 is not bit-identical to
          the C++ — XLA's FMA contraction can round EXACT heuristic ties
-         differently than g++'s evaluation — so CIGARs can flip at exact
-         ties either way; penalties are integers and unaffected.
+         differently than g++'s evaluation (mismatch_sig == indel_sig
+         mathematically, so ties are common; see reference_impl.greedy_ref
+         module docstring). A flipped tie changes the chosen highway, so
+         on rare extreme-error pairs the integer COST can shift by a few
+         units too (measured 0/512 pairs at err<=0.10, 18/512 at the
+         pathological err=0.4 indel-heavy corpus, usually cheaper).
       max_steps: static bound on greedy while-loop trip count (a highway
          step always advances >= 1 column, so max_len is always safe).
       max_cigar_ops: fixed CIGAR buffer length (2 ops per greedy step).

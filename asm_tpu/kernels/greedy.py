@@ -297,14 +297,17 @@ def greedy_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig):
         dest_new = pick(dest, new_lane + k)
         done = s["done"] | (act & ~valid) | (move & (new_col >= dest_new))
 
+        # int32 casts keep carry dtypes stable when jax_enable_x64 is on
+        # (exact_floats runs need it): weak-typed Python-int arithmetic
+        # would otherwise promote cost/cur_col to int64 mid-loop.
         return dict(
-            cur_lane=new_lane,
-            cur_col=new_col,
-            cost=cost,
+            cur_lane=new_lane.astype(jnp.int32),
+            cur_col=new_col.astype(jnp.int32),
+            cost=cost.astype(jnp.int32),
             done=done,
-            sp=sp,
-            hlen=hlen,
-            nsw=nsw,
+            sp=sp.astype(jnp.int32),
+            hlen=hlen.astype(jnp.int32),
+            nsw=nsw.astype(jnp.int32),
             step_dl=step_dl,
             step_dist=step_dist,
             steps=s["steps"] + move.astype(jnp.int32),

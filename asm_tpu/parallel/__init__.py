@@ -19,6 +19,7 @@ sequential loop). The TPU framework's scale-out story replaces that:
 from asm_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    shard_on_axis,
     batch_pspec,
     initialize_distributed,
 )
@@ -36,6 +37,7 @@ from asm_tpu.parallel.schedule import (
 __all__ = [
     "make_mesh",
     "shard_batch",
+    "shard_on_axis",
     "batch_pspec",
     "initialize_distributed",
     "make_sharded_pipeline",

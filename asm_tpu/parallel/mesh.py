@@ -59,6 +59,20 @@ def shard_batch(mesh: Mesh, *arrays: jax.Array) -> tuple[jax.Array, ...]:
     return tuple(out)
 
 
+def shard_on_axis(mesh: Mesh, array: jax.Array, axis_index: int) -> jax.Array:
+    """Place one array with dimension `axis_index` sharded over the mesh
+    (for non-leading batch axes, e.g. the position-major staged corpus
+    uint32[L/4, B] where the batch is axis 1)."""
+    if array.shape[axis_index] % mesh.size != 0:
+        raise ValueError(
+            f"dim {axis_index} of {array.shape} not divisible by mesh "
+            f"size {mesh.size}"
+        )
+    dims = [None] * array.ndim
+    dims[axis_index] = mesh.axis_names[0]
+    return jax.device_put(array, NamedSharding(mesh, P(*dims)))
+
+
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,

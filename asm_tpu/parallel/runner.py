@@ -101,7 +101,8 @@ def make_sharded_pipeline(mesh, cfg: AlignConfig):
 
 
 def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
-                        want_cigar: bool = False, interpret: bool = False):
+                        want_cigar: bool = False, interpret: bool = False,
+                        pre_staged: bool = False):
     """jit'd sharded greedy-only step: returns the greedy result dict with
     every leaf sharded on the batch axis (the pure-throughput path used by
     the flagship benchmark).
@@ -112,9 +113,13 @@ def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
     returns compact packed step records instead.
     interpret=True (pallas only) runs the kernel in Pallas interpret mode
     so the exact shipped bench path is testable on the hermetic CPU mesh.
+    pre_staged=True (pallas only): codes arrive position-major
+    (uint32[L//4, B] from greedy_pallas.stage_swar_t, batch on axis 1 —
+    the production corpus layout that skips the device transpose).
     """
     axis = mesh.axis_names[0]
     b = P(axis)
+    c = P(None, axis) if pre_staged else b
 
     if impl == "pallas":
         from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
@@ -123,15 +128,18 @@ def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
             return greedy_align_pallas(
                 read_codes, read_len, ref_codes, ref_len, cfg,
                 want_cigar=want_cigar, interpret=interpret,
+                pre_staged=pre_staged,
             )
     else:
+        assert not pre_staged, "pre_staged requires impl='pallas'"
+
         def shard_fn(read_codes, read_len, ref_codes, ref_len):
             return greedy_align(read_codes, read_len, ref_codes, ref_len, cfg)
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(b, b, b, b),
+        in_specs=(c, b, c, b),
         out_specs=b,
     )
     return jax.jit(fn)

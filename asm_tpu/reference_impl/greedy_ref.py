@@ -27,6 +27,22 @@ mismatches (sentinel padding) instead of stale buffer bytes
 (hurdle_matrix.h:497). The band is always [-k, k] because the benchmark
 binary does not define CORRECTION (CMakeLists.txt has no such flag;
 hurdle_matrix.h:509-512 #else branch).
+
+Float-tie sensitivity (documented; affects kernel-vs-emulator diffs):
+with the benchmark probabilities, mismatch_sig and indel_sig are
+MATHEMATICALLY EQUAL (both log((0.2/3)/0.25) — indel_prob/2 == 0.4/3/2 ==
+0.2/3 exactly in IEEE doubles), so any two lanes with equal length and
+equal nhur+nsw have heuristics that are exact mathematical ties, ordered
+only by last-ulp rounding of the two-sum. That ordering depends on
+precision and FMA contraction: this emulator (Python doubles, no FMA)
+matches the reference compiled as shipped; the float32 batched kernels —
+and even float64 XLA, which contracts mul+add into FMA — can break such
+ties the other way, changing the chosen highway and hence the COST by a
+few units on rare pairs. Measured kernel-vs-emulator cost diffs: 0/512
+at err<=0.10 (the validated rates), 1/512 at err=0.20, 18/512 on the
+pathological err=0.4 indel-heavy corpus (deltas skew NEGATIVE — the
+flipped ties usually find cheaper walks). The reference's own output is
+compiler-flag-dependent at exactly these ties.
 """
 
 from __future__ import annotations

@@ -73,19 +73,32 @@ def test_greedy_length_mismatch_out_of_band():
 
 def test_greedy_indel_heavy_cost_conformance():
     """Indel-heavy corpus (40% errors, half indels) stresses out-of-band
-    destinations and highway tie-breaks. Costs must match the emulator
-    exactly; CIGARs may rarely flip at EXACT heuristic ties (the C++
-    double evaluation of tied significances is FMA/compiler-dependent —
-    see greedy.py docstring), so only near-total agreement is asserted."""
+    destinations and highway tie-breaks. With the benchmark probabilities
+    mismatch_sig == indel_sig EXACTLY, so lanes with equal length and
+    equal nhur+nsw are exact heuristic ties ordered only by last-ulp
+    rounding — precision/FMA-dependent (see reference_impl.greedy_ref
+    module docstring). A flipped tie reroutes the walk, so on this
+    pathological corpus a few pairs' COSTS legitimately differ from the
+    double-precision emulator (the reference's own output is
+    compiler-flag-dependent at the same ties). seed=7: zero flips;
+    seed=8: exactly pair 21 (kernel 51 via 2I..1D, emulator 52 via
+    4I..3D, compiled reference 53 on the same 4I walk with its
+    stale-buffer extra hurdle)."""
     cfg = AlignConfig(k=3)
-    reads, refs = generate_dataset(64, 100, 0.4, 0.5, seed=7)
-    cost, cigars, _ = _run_batch(reads, refs, cfg)
-    cigar_miss = 0
-    for i in range(len(reads)):
-        exp_cost, exp_cigar = greedy_ref(reads[i], refs[i], k=3)
-        assert cost[i] == exp_cost, f"pair {i}"
-        cigar_miss += cigars[i] != exp_cigar
-    assert cigar_miss <= 3, f"{cigar_miss} CIGAR tie-flips (expected <= 3)"
+    for seed, max_cost_flips, max_cigar_flips in [(7, 0, 3), (8, 2, 4)]:
+        reads, refs = generate_dataset(64, 100, 0.4, 0.5, seed=seed)
+        cost, cigars, _ = _run_batch(reads, refs, cfg)
+        cost_miss = cigar_miss = 0
+        for i in range(len(reads)):
+            exp_cost, exp_cigar = greedy_ref(reads[i], refs[i], k=3)
+            if cost[i] != exp_cost:
+                # a cost flip must come from a rerouted walk, never from
+                # mis-scoring the SAME walk: the CIGAR must differ too
+                assert cigars[i] != exp_cigar, f"seed {seed} pair {i}"
+                cost_miss += 1
+            cigar_miss += cigars[i] != exp_cigar
+        assert cost_miss <= max_cost_flips, (seed, cost_miss)
+        assert cigar_miss <= max_cigar_flips, (seed, cigar_miss)
 
 
 def test_greedy_identical_and_trivial():

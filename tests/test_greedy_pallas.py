@@ -50,6 +50,26 @@ def test_pallas_want_cigar_false():
     assert "cigar_ops" not in got and "step_rec" in got
 
 
+def test_pallas_pre_staged_matches_batch_major():
+    """The production pre-staged layout (stage_swar_t position-major SWAR
+    words) must be bit-identical to the [B, L] int8 API path, including
+    internal _TILE padding (B=200 is not a multiple of anything)."""
+    from asm_tpu.kernels.greedy_pallas import stage_swar_t
+
+    cfg = AlignConfig(max_steps=24)
+    rc, rl, fc, fl = generate_dataset_arrays(200, 100, 0.15, 0.8, seed=11)
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    ref = greedy_align_pallas(*a, cfg, interpret=True)
+    got = greedy_align_pallas(
+        jnp.asarray(stage_swar_t(rc)), a[1],
+        jnp.asarray(stage_swar_t(fc)), a[3],
+        cfg, interpret=True, pre_staged=True,
+    )
+    for key in ("cost", "steps", "cigar_ops", "cigar_runs"):
+        np.testing.assert_array_equal(np.asarray(got[key]),
+                                      np.asarray(ref[key]))
+
+
 def test_pallas_rejects_unsupported_flip_threshold():
     cfg = AlignConfig(flip_threshold=2, max_steps=8)
     corpus = generate_dataset_arrays(8, 50, 0.1, seed=1)
