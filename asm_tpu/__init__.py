@@ -45,7 +45,7 @@ from asm_tpu.kernels.leap import leap_align
 from asm_tpu.kernels.shd import shd_filter
 from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
 from asm_tpu.kernels.leap_pallas import leap_align_pallas
-from asm_tpu.kernels.nw_pallas import nw_penalty_pallas
+from asm_tpu.kernels.nw_pallas import nw_align_pallas, nw_penalty_pallas
 from asm_tpu.kernels.msa import profile_align, profiles_from_alignments
 
 __all__ = [
@@ -59,6 +59,7 @@ __all__ = [
     "pack_bitplanes",
     "nw_align",
     "nw_penalty",
+    "nw_align_pallas",
     "nw_penalty_pallas",
     "greedy_align",
     "greedy_align_pallas",

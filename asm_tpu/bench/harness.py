@@ -191,9 +191,19 @@ def run_benchmark(
         L = read_codes.shape[1]
         align_chunk = min(chunk, 1 << 13, checked)
         covered = 0
-        a_fn = jax.jit(functools.partial(
-            nw_align, x=cfg.x, o=cfg.o, e=cfg.e, match_mask_threshold=3
-        ))
+        if impl == "pallas":
+            # fused forward+traceback kernel (bit-identical to nw_align,
+            # ~2x its mask throughput on the chip)
+            from asm_tpu.kernels.nw_pallas import nw_align_pallas
+
+            a_fn = jax.jit(functools.partial(
+                nw_align_pallas, x=cfg.x, o=cfg.o, e=cfg.e,
+                match_mask_threshold=3, interpret=interpret
+            ))
+        else:
+            a_fn = jax.jit(functools.partial(
+                nw_align, x=cfg.x, o=cfg.o, e=cfg.e, match_mask_threshold=3
+            ))
         # coverage needs CIGARs: always use the XLA greedy path here
         greedy_fn = jax.jit(functools.partial(greedy_align, cfg=cfg))
 
