@@ -92,10 +92,12 @@ def run_benchmark(
     if impl == "pallas":
         from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
         from asm_tpu.kernels.leap_pallas import leap_align_pallas
-        from asm_tpu.kernels.nw_pallas import nw_penalty_pallas
+        from asm_tpu.kernels.nw_band import nw_penalty_auto
 
+        # banded cascade (bit-equal to nw_penalty by certificate): ~3x
+        # the full wavefront kernel at the benchmark error rates
         nw_fn = jax.jit(functools.partial(
-            nw_penalty_pallas, x=cfg.x, o=cfg.o, e=cfg.e,
+            nw_penalty_auto, x=cfg.x, o=cfg.o, e=cfg.e,
             interpret=interpret))
         # greedy/LEAP consume the pre-staged position-major corpus
         # (stage_swar_t) — the production layout; staging is corpus prep,

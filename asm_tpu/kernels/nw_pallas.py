@@ -9,9 +9,23 @@ _TB-pair tile and only touch HBM for codes in / results out.
 Layout: positions across lanes (cells i in [1, L] at lane q = i-1, exactly
 the XLA kernel's scheme incl. the virtual i == 0 border), _TB pairs across
 sublanes per grid step. The reversed-ref diagonal window is maintained
-incrementally: three [_TB, L] registers hold the sliding 3L-wide padded
-reverse-ref window, funnel-shifted one lane per diagonal (pltpu.roll +
-lane-0 patch) instead of re-slicing per step.
+incrementally as ONE [_TB, 2L] circular buffer rolled one lane per
+diagonal: the window V read by step d occupies lanes [L, 2L); the value a
+circular roll wraps into lane 0 at step d is pad[3L - d] — sentinel for
+every d <= L, and a lane-0 value entering at step d is only ever read
+into V at step d + L > 2L for d > L, so no boundary patch is needed
+anywhere (proof in _init_window's comment). Three per-step funnel shifts
+collapse into one roll.
+
+Further op-count trims over the naive schedule:
+  * the shifted h/e rows that feed e_open / sub / e_ext are computed once
+    per step and PIPELINED through scratch rows (sub at step d reuses the
+    shift produced for e_open at step d-1), so each step performs exactly
+    one h-shift and one e-shift;
+  * the diagonal loop runs to D0 = max(m + n) over the tile (a traced
+    bound — lax lowers it to a while loop with zero per-iteration
+    overhead), not the worst-case 2L; at the benchmark's ~100-char pairs
+    in 128 lanes that is ~20% fewer steps.
 
 Two kernels:
   * `_nw_kernel` — penalty only (`nw_penalty_pallas`).
@@ -46,7 +60,33 @@ INF = 1 << 29
 _TB = 128  # pairs per tile
 
 
-def _nw_kernel(L, x, o, e, rc_ref, fc_ref, rl_ref, fl_ref, pen_ref, st_ref):
+def _h_top(dd, o, e):
+    """Virtual top-border penalty H[0][j] at diagonal offset dd = j."""
+    return jnp.where(dd <= 0, jnp.where(dd == 0, 0, INF), o + (dd - 1) * e)
+
+
+def _window_start(rev):
+    """d=1 state of the [B, 2L] circular reverse-ref window (host/XLA side).
+
+    Invariant maintained by the kernels: before step d,
+    win[q] = pad[L + q + 1 - d] for pad = [sent(L), rev(L), sent(L+1)], so
+    the window V read by step d is win[L:2L] (V_d[q] = pad[(2L+1-d)+q],
+    the value compared against cell i = q+1 on diagonal d). A step reads
+    V, then rolls win by +1 lane. The roll wraps win[2L-1] = pad[3L-d]
+    into lane 0, where the invariant wants pad[L-d]: both are sentinels
+    for d <= L (indices in the pad's sentinel blocks), and for d > L the
+    wrapped value is only ever read into V at step d + L > 2L, i.e.
+    never — so the plain circular roll maintains the invariant with no
+    boundary patch. win_1[q] = pad[L + q]: [rev | sentinel].
+    """
+    L = rev.shape[1]
+    return jnp.concatenate(
+        [rev, jnp.full((rev.shape[0], L), -2, jnp.int32)], axis=1
+    )
+
+
+def _nw_kernel(L, x, o, e, rc_ref, w_ref, rl_ref, fl_ref, pen_ref, st_ref,
+               win_ref):
     shape = (_TB, L)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     ii = lane + 1  # cell index i at lane q
@@ -54,46 +94,25 @@ def _nw_kernel(L, x, o, e, rc_ref, fc_ref, rl_ref, fl_ref, pen_ref, st_ref):
     m = jnp.minimum(rl_ref[...], L)
     n = jnp.minimum(fl_ref[...], L)
     mn = m + n
+    d_max = jnp.max(mn)  # traced trip count: tile's farthest diagonal
 
     aa = rc_ref[...]  # cell i uses read[i-1] = lane q
 
-    # reversed ref (rev[q] = ref[L-1-q]) arrives pre-flipped from XLA —
-    # Mosaic has no lowering for the `rev` primitive
-    rev = fc_ref[...]
-
-    # sliding window V[q] = pad[(2L+1-d) + q] over pad = [zeros, rev, zeros]
-    # at d=1 the window is the top pad block; U is the block below it (rev)
-    # and T the bottom pad. Each step the window slides down one index:
-    # V <- funnel(V, U), U <- funnel(U, T), T <- shift-in sentinel.
-    sent = jnp.full(shape, -2, jnp.int32)
-
-    # st_ref rows: 0 h1, 1 h2, 2 e1, 3 f1, 4 pen, 5 V, 6 U, 7 T
-    st_ref[0] = jnp.full(shape, INF, jnp.int32)
-    st_ref[1] = jnp.full(shape, INF, jnp.int32)
-    st_ref[2] = jnp.full(shape, INF, jnp.int32)
-    st_ref[3] = jnp.full(shape, INF, jnp.int32)
+    # st_ref rows: 0 h1 (unshifted), 1 SA = shift(h_{d-1}), 2 SB =
+    # shift(h_{d-2}), 3 se1 = shift(e_{d-1}), 4 f1 (unshifted), 5 pen
+    inf_row = jnp.full(shape, INF, jnp.int32)
+    st_ref[0] = inf_row
+    # SA for d=1: shift(h_0 = INF row) with lane-0 fill h_top(0) = 0
+    st_ref[1] = jnp.where(lane == 0, 0, INF)
+    st_ref[2] = inf_row
+    st_ref[3] = inf_row
+    st_ref[4] = inf_row
     # m == 0 pairs end on the virtual top border: closed form
-    st_ref[4] = jnp.broadcast_to(
+    st_ref[5] = jnp.broadcast_to(
         jnp.where(mn == 0, 0, jnp.where(m == 0, o + (mn - 1) * e, INF)),
         shape,
     )
-    # init = the d=0 window position (start = 2L+1), one slide before the
-    # first step's window: V0[q] = pad[2L+1+q] (all sentinel),
-    # U0[q] = pad[L+1+q] = rev[q+1] with sentinel at the top lane,
-    # T0[q] = pad[1+q] = sentinel except rev[0] at the top lane.
-    r1 = pltpu.roll(rev, L - 1, axis=1)  # r1[q] = rev[q+1], r1[L-1] = rev[0]
-    st_ref[5] = sent
-    st_ref[6] = jnp.where(lane == L - 1, -2, r1)
-    st_ref[7] = jnp.where(lane == L - 1, r1, -2)
-
-    def h_top(dd):
-        return jnp.where(dd <= 0, jnp.where(dd == 0, 0, INF), o + (dd - 1) * e)
-
-    def funnel(v, u):
-        """new[q] = v[q-1], new[0] = u[L-1] (slide the window one down)."""
-        vr = pltpu.roll(v, 1, axis=1)
-        ur = pltpu.roll(u, 1, axis=1)
-        return jnp.where(lane == 0, ur, vr)
+    win_ref[...] = w_ref[...]  # pre-built by _window_start
 
     def shift_fill(arr, fill):
         """value at lane q-1; lane 0 reads the (scalar) fill."""
@@ -102,27 +121,20 @@ def _nw_kernel(L, x, o, e, rc_ref, fc_ref, rl_ref, fl_ref, pen_ref, st_ref):
 
     def body(d, _):
         h1 = st_ref[0]
-        h2 = st_ref[1]
-        e1 = st_ref[2]
-        f1 = st_ref[3]
+        sa = st_ref[1]
+        sb = st_ref[2]
+        se1 = st_ref[3]
+        f1 = st_ref[4]
 
-        # slide the reverse-ref window FIRST: at step d the window must be
-        # pad[(2L+1-d)+q]; the init (d=1 window) is the top pad block
-        V = funnel(st_ref[5], st_ref[6])
-        U = funnel(st_ref[6], st_ref[7])
-        T = shift_fill(st_ref[7], -2)
-        st_ref[5] = V
-        st_ref[6] = U
-        st_ref[7] = T
-        bb = V  # == b_rev_pad[(2L+1-d') .. ] for d' = d+1... see note below
+        win = win_ref[...]
+        bb = win[:, L:]  # V_d
+        win_ref[...] = pltpu.roll(win, 1, axis=1)
 
-        e_open = shift_fill(h1, h_top(d - 1)) + o
-        e_ext = shift_fill(e1, INF) + e
-        e_new = jnp.minimum(e_open, e_ext)
+        e_new = jnp.minimum(sa + o, se1 + e)
         f_new = jnp.minimum(h1 + o, f1 + e)
 
         mis = (aa != bb).astype(jnp.int32)
-        sub = shift_fill(h2, h_top(d - 2)) + x * mis
+        sub = sb + x * mis
 
         h_new = jnp.minimum(sub, jnp.minimum(e_new, f_new))
 
@@ -132,24 +144,25 @@ def _nw_kernel(L, x, o, e, rc_ref, fc_ref, rl_ref, fl_ref, pen_ref, st_ref):
         e_new = jnp.where(at_left, border_pen, e_new)
         f_new = jnp.where(at_left, INF, f_new)
 
-        pen = st_ref[4]
-        st_ref[4] = jnp.where(
+        pen = st_ref[5]
+        st_ref[5] = jnp.where(
             (d == mn) & (ii == m) & (m > 0), h_new, pen
         )
 
         st_ref[0] = h_new
-        st_ref[1] = h1
-        st_ref[2] = e_new
-        st_ref[3] = f_new
+        st_ref[2] = sa  # SB' = shift(h_{d-1}) w/ fill h_top(d-1)
+        st_ref[1] = shift_fill(h_new, _h_top(d, o, e))
+        st_ref[3] = shift_fill(e_new, INF)
+        st_ref[4] = f_new
         return 0
 
-    jax.lax.fori_loop(1, 2 * L + 1, body, 0)
+    jax.lax.fori_loop(1, d_max + 1, body, 0)
 
     # pen holds the result at lane m-1 for each pair (single set lane);
     # fold over lanes with the "only one lane differs from the masked
     # default" trick: take min over lanes of (pen where set else INF),
     # then the m == 0 closed form stored as a full row wins via min too.
-    pen = st_ref[4]
+    pen = st_ref[5]
     picked = jnp.min(
         jnp.where((ii == jnp.maximum(m, 1)) | (m == 0), pen, INF), axis=1
     )
@@ -178,7 +191,7 @@ def nw_penalty_pallas(read_codes, read_len, ref_codes, ref_len,
         in_specs=[
             pl.BlockSpec((_TB, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, L), lambda i: (i, 0),
+            pl.BlockSpec((_TB, 2 * L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_TB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -188,25 +201,30 @@ def nw_penalty_pallas(read_codes, read_len, ref_codes, ref_len,
         out_specs=pl.BlockSpec((_TB, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BP, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, _TB, L), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((6, _TB, L), jnp.int32),
+            pltpu.VMEM((_TB, 2 * L), jnp.int32),
+        ],
         interpret=interpret,
     )(
         read_codes.astype(jnp.int32),
-        jnp.flip(ref_codes.astype(jnp.int32), axis=1),  # pre-reversed
+        _window_start(jnp.flip(ref_codes.astype(jnp.int32), axis=1)),
         read_len.astype(jnp.int32).reshape(BP, 1),
         ref_len.astype(jnp.int32).reshape(BP, 1),
     )
     return pen.reshape(BP)[:B]
 
 
-def _nw_trace_kernel(L, x, o, e, thr, rc_ref, fc_ref, rl_ref, fl_ref,
-                     pen_ref, ops_ref, mask_ref, st_ref, ptr_ref, acc_ref):
+def _nw_trace_kernel(L, x, o, e, thr, rc_ref, w_ref, rl_ref, fl_ref,
+                     pen_ref, ops_ref, mask_ref, st_ref, win_ref, ptr_ref,
+                     acc_ref):
     """Forward wavefront + in-VMEM traceback for one _TB-pair tile.
 
     Mirrors nw.nw_align / nw._wavefront bit-for-bit (same pointer-byte
     encoding: bits0-1 H-source, bit2 E-open, bit3 F-open, bit4 mismatch).
     thr < 0 disables the match-mask bookkeeping (mask_ref still written,
-    with zeros, to keep the output arity static).
+    with zeros, to keep the output arity static). Same circular-window /
+    pipelined-shift / dynamic-trip-count schedule as _nw_kernel.
     """
     shape = (_TB, L)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -215,32 +233,23 @@ def _nw_trace_kernel(L, x, o, e, thr, rc_ref, fc_ref, rl_ref, fl_ref,
     m = jnp.minimum(rl_ref[...], L)
     n = jnp.minimum(fl_ref[...], L)
     mn = m + n
+    d_max = jnp.max(mn)
 
     aa = rc_ref[...]
-    rev = fc_ref[...]  # pre-flipped ref codes
-    sent = jnp.full(shape, -2, jnp.int32)
 
-    # st_ref rows: 0 h1, 1 h2, 2 e1, 3 f1, 4 pen, 5 V, 6 U, 7 T
-    st_ref[0] = jnp.full(shape, INF, jnp.int32)
-    st_ref[1] = jnp.full(shape, INF, jnp.int32)
-    st_ref[2] = jnp.full(shape, INF, jnp.int32)
-    st_ref[3] = jnp.full(shape, INF, jnp.int32)
-    st_ref[4] = jnp.broadcast_to(
+    # st_ref rows: 0 h1, 1 SA = shift(h_{d-1}), 2 SB = shift(h_{d-2}),
+    # 3 se1 = shift(e_{d-1}), 4 f1, 5 pen
+    inf_row = jnp.full(shape, INF, jnp.int32)
+    st_ref[0] = inf_row
+    st_ref[1] = jnp.where(lane == 0, 0, INF)
+    st_ref[2] = inf_row
+    st_ref[3] = inf_row
+    st_ref[4] = inf_row
+    st_ref[5] = jnp.broadcast_to(
         jnp.where(mn == 0, 0, jnp.where(m == 0, o + (mn - 1) * e, INF)),
         shape,
     )
-    r1 = pltpu.roll(rev, L - 1, axis=1)
-    st_ref[5] = sent
-    st_ref[6] = jnp.where(lane == L - 1, -2, r1)
-    st_ref[7] = jnp.where(lane == L - 1, r1, -2)
-
-    def h_top(dd):
-        return jnp.where(dd <= 0, jnp.where(dd == 0, 0, INF), o + (dd - 1) * e)
-
-    def funnel(v, u):
-        vr = pltpu.roll(v, 1, axis=1)
-        ur = pltpu.roll(u, 1, axis=1)
-        return jnp.where(lane == 0, ur, vr)
+    win_ref[...] = w_ref[...]
 
     def shift_fill(arr, fill):
         r = pltpu.roll(arr, 1, axis=1)
@@ -248,27 +257,24 @@ def _nw_trace_kernel(L, x, o, e, thr, rc_ref, fc_ref, rl_ref, fl_ref,
 
     def fwd(d, _):
         h1 = st_ref[0]
-        h2 = st_ref[1]
-        e1 = st_ref[2]
-        f1 = st_ref[3]
+        sa = st_ref[1]
+        sb = st_ref[2]
+        se1 = st_ref[3]
+        f1 = st_ref[4]
 
-        V = funnel(st_ref[5], st_ref[6])
-        U = funnel(st_ref[6], st_ref[7])
-        T = shift_fill(st_ref[7], -2)
-        st_ref[5] = V
-        st_ref[6] = U
-        st_ref[7] = T
-        bb = V
+        win = win_ref[...]
+        bb = win[:, L:]
+        win_ref[...] = pltpu.roll(win, 1, axis=1)
 
-        e_open = shift_fill(h1, h_top(d - 1)) + o
-        e_ext = shift_fill(e1, INF) + e
+        e_open = sa + o
+        e_ext = se1 + e
         e_new = jnp.minimum(e_open, e_ext)
         f_open = h1 + o
         f_ext = f1 + e
         f_new = jnp.minimum(f_open, f_ext)
 
         mis = (aa != bb).astype(jnp.int32)
-        sub = shift_fill(h2, h_top(d - 2)) + x * mis
+        sub = sb + x * mis
 
         h_new = jnp.minimum(sub, jnp.minimum(e_new, f_new))
 
@@ -278,8 +284,8 @@ def _nw_trace_kernel(L, x, o, e, thr, rc_ref, fc_ref, rl_ref, fl_ref,
         e_new = jnp.where(at_left, border_pen, e_new)
         f_new = jnp.where(at_left, INF, f_new)
 
-        pen = st_ref[4]
-        st_ref[4] = jnp.where((d == mn) & (ii == m) & (m > 0), h_new, pen)
+        pen = st_ref[5]
+        st_ref[5] = jnp.where((d == mn) & (ii == m) & (m > 0), h_new, pen)
 
         # packed pointer byte (exactly nw.py's encoding; int32 math — bool
         # vectors miscompile in Mosaic)
@@ -294,14 +300,15 @@ def _nw_trace_kernel(L, x, o, e, thr, rc_ref, fc_ref, rl_ref, fl_ref,
         ptr_ref[d - 1] = ptr.astype(jnp.int8)
 
         st_ref[0] = h_new
-        st_ref[1] = h1
-        st_ref[2] = e_new
-        st_ref[3] = f_new
+        st_ref[2] = sa
+        st_ref[1] = shift_fill(h_new, _h_top(d, o, e))
+        st_ref[3] = shift_fill(e_new, INF)
+        st_ref[4] = f_new
         return 0
 
-    jax.lax.fori_loop(1, 2 * L + 1, fwd, 0)
+    jax.lax.fori_loop(1, d_max + 1, fwd, 0)
 
-    pen = st_ref[4]
+    pen = st_ref[5]
     picked = jnp.min(
         jnp.where((ii == jnp.maximum(m, 1)) | (m == 0), pen, INF), axis=1
     )
@@ -337,7 +344,7 @@ def _nw_trace_kernel(L, x, o, e, thr, rc_ref, fc_ref, rl_ref, fl_ref,
     want_mask = thr >= 0
 
     def bwd(t, _):
-        d = 2 * L - t
+        d = d_max - t  # diagonals above d_max are inactive for every pair
         i = st_ref[0]  # [_TB, L], constant along lanes
         j = st_ref[1]
         st = st_ref[2]
@@ -366,12 +373,14 @@ def _nw_trace_kernel(L, x, o, e, thr, rc_ref, fc_ref, rl_ref, fl_ref,
         )
         op = jnp.where(active, op, OP_NONE)
 
-        # commit this step's op to accumulator column t (one-hot; op is
+        # commit this step's op to accumulator column 2L - d — the column
+        # the full-2L replay would use, so the ops layout stays bit-equal
+        # to nw.nw_align regardless of d_max (one-hot; op is
         # lane-constant so lane 0's value is the one committed)
         op0 = jnp.sum(
             jnp.where(lane == 0, op, 0), axis=1, keepdims=True
         )
-        acc_ref[0] = acc_ref[0] | jnp.where(col2 == t, op0, 0)
+        acc_ref[0] = acc_ref[0] | jnp.where(col2 == 2 * L - d, op0, 0)
 
         di = jnp.where((go_diag | go_e) == 1, 1, 0)
         dj = jnp.where((go_diag | go_f) == 1, 1, 0)
@@ -405,7 +414,7 @@ def _nw_trace_kernel(L, x, o, e, thr, rc_ref, fc_ref, rl_ref, fl_ref,
         st_ref[2] = jnp.where(active, new_st, st)
         return 0
 
-    jax.lax.fori_loop(0, 2 * L, bwd, 0)
+    jax.lax.fori_loop(0, d_max, bwd, 0)
 
     ops_ref[...] = acc_ref[0].astype(jnp.int8)
     if want_mask:
@@ -459,7 +468,7 @@ def nw_align_pallas(read_codes, read_len, ref_codes, ref_len,
         in_specs=[
             pl.BlockSpec((_TB, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, L), lambda i: (i, 0),
+            pl.BlockSpec((_TB, 2 * L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_TB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -480,14 +489,15 @@ def nw_align_pallas(read_codes, read_len, ref_codes, ref_len,
             jax.ShapeDtypeStruct((BP, L), jnp.int8),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, _TB, L), jnp.int32),
+            pltpu.VMEM((6, _TB, L), jnp.int32),
+            pltpu.VMEM((_TB, 2 * L), jnp.int32),
             pltpu.VMEM((2 * L, _TB, L), jnp.int8),
             pltpu.VMEM((1, _TB, 2 * L), jnp.int32),
         ],
         interpret=interpret,
     )(
         read_codes.astype(jnp.int32),
-        jnp.flip(ref_codes.astype(jnp.int32), axis=1),  # pre-reversed
+        _window_start(jnp.flip(ref_codes.astype(jnp.int32), axis=1)),
         read_len.astype(jnp.int32).reshape(BP, 1),
         ref_len.astype(jnp.int32).reshape(BP, 1),
     )

@@ -1,0 +1,45 @@
+"""Banded NW kernel + certificate cascade vs the exact XLA oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from asm_tpu.data.generator import generate_dataset_arrays
+from asm_tpu.encoding import encode_batch
+from asm_tpu.kernels.nw import nw_penalty
+from asm_tpu.kernels.nw_band import (
+    band_certified,
+    nw_penalty_auto,
+    nw_penalty_banded,
+)
+
+
+@pytest.mark.parametrize("err,mr", [(0.05, 0.96), (0.15, 0.96), (0.4, 0.5)])
+def test_certified_banded_equals_full(err, mr):
+    corpus = generate_dataset_arrays(600, 100, err, mr, seed=11)
+    a = [jnp.asarray(v) for v in corpus]
+    ref = np.asarray(nw_penalty(*a))
+    for bw in (32, 64):
+        pen = np.asarray(nw_penalty_banded(*a, bw=bw, interpret=True))
+        ok = np.asarray(band_certified(jnp.asarray(pen), bw))
+        assert (pen[ok] == ref[ok]).all(), (bw, err)
+
+
+@pytest.mark.parametrize("err,mr", [(0.05, 0.96), (0.20, 0.96), (0.4, 0.5)])
+def test_auto_cascade_bit_equal(err, mr):
+    corpus = generate_dataset_arrays(600, 100, err, mr, seed=12)
+    ref = np.asarray(nw_penalty(*[jnp.asarray(v) for v in corpus]))
+    auto = nw_penalty_auto(*corpus, interpret=True)
+    np.testing.assert_array_equal(auto, ref)
+
+
+def test_auto_nonunit_penalties_and_edges():
+    reads = ["A", "ACGT" * 32, "ACGTACGT", "", "ACGT" * 25, "AC"]
+    refs = ["ACGT" * 32, "A", "ACGTACGT", "ACG", "ACGT" * 25, "TGCA" * 20]
+    c = encode_batch(reads, refs, 128)
+    for x, o, e in [(1, 1, 1), (2, 3, 1), (1, 4, 2)]:
+        ref = np.asarray(
+            nw_penalty(*[jnp.asarray(v) for v in c], x=x, o=o, e=e)
+        )
+        auto = nw_penalty_auto(*c, x=x, o=o, e=e, interpret=True)
+        np.testing.assert_array_equal(auto, ref, err_msg=f"{x},{o},{e}")
