@@ -34,6 +34,21 @@ from asm_tpu.encoding import encode_batch
 
 
 def main():
+    # persistent compile cache (remote TPU compiles cost 30-200 s; cached
+    # reruns start in seconds) — same gitignored dir bench.py uses
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+            ".jax_cache",
+        ),
+    )
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pairs", type=int, default=1_000_000)
     p.add_argument("--err", type=float, action="append", default=None,
