@@ -465,6 +465,18 @@ def stage_swar_t(codes) -> "np.ndarray":
     B, L = arr.shape
     assert L % 4 == 0
     sw = arr.view(np.uint32)  # [B, L/4], little-endian byte order
+    # native path: parallel tiled transpose into a hugepage-prefaulted
+    # buffer — numpy's `ascontiguousarray(sw.T)` page-faults a fresh
+    # ~1 GB buffer at ~16 MB/s on this VM class (minutes per corpus)
+    from asm_tpu.native import load_native
+
+    lib = load_native()
+    if lib is not None:
+        from asm_tpu.utils.hostmem import host_array
+
+        out = host_array((L // 4, B), np.uint32)
+        lib.asm_stage_swar_t(sw, B, L // 4, out, 0)
+        return out
     return np.ascontiguousarray(sw.T)  # [L/4, B]
 
 

@@ -90,6 +90,34 @@ def _configure(lib):
     lib.asm_fm_save.argtypes = [c.c_void_p, c.c_char_p]
     lib.asm_fm_load.restype = c.c_void_p
     lib.asm_fm_load.argtypes = [c.c_char_p]
+
+    # hostmem runtime (native/src/hostmem.cpp): hugepage-backed
+    # parallel-prefaulted buffers + the host corpus pipeline
+    lib.asm_host_alloc.restype = c.c_void_p
+    lib.asm_host_alloc.argtypes = [c.c_int64, c.c_int32]
+    lib.asm_host_free.restype = None
+    lib.asm_host_free.argtypes = [c.c_void_p, c.c_int64]
+    lib.asm_prefault.restype = None
+    lib.asm_prefault.argtypes = [c.c_void_p, c.c_int64, c.c_int32]
+    lib.asm_difficulty_sort.restype = None
+    lib.asm_difficulty_sort.argtypes = [
+        i8p, i8p, c.c_int64, c.c_int32, i64p, c.c_int32,
+    ]
+    lib.asm_apply_perm_rows.restype = None
+    lib.asm_apply_perm_rows.argtypes = [
+        c.c_void_p, i64p, c.c_void_p, c.c_int64, c.c_int64, c.c_int32,
+    ]
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.asm_stage_swar_t.restype = None
+    lib.asm_stage_swar_t.argtypes = [
+        u32p, c.c_int64, c.c_int32, u32p, c.c_int32,
+    ]
+    lib.asm_read_into.restype = c.c_int64
+    lib.asm_read_into.argtypes = [
+        c.c_char_p, c.c_int64, c.c_void_p, c.c_int64, c.c_int32,
+    ]
+    lib.asm_write_from.restype = c.c_int64
+    lib.asm_write_from.argtypes = [c.c_char_p, c.c_int64, c.c_void_p, c.c_int64]
     return lib
 
 
@@ -136,10 +164,14 @@ def generate_dataset_native(num_reads, length, error_rate, mismatch_rate=0.96,
                             exact_error_rate=True, seed=0, max_len=128):
     """C++ corpus generator (benchmark_dataset.h process; own RNG stream)."""
     lib = load_native(required=True)
-    rc = np.empty((num_reads, max_len), np.int8)
-    fc = np.empty((num_reads, max_len), np.int8)
-    rl = np.empty(num_reads, np.int32)
-    fl = np.empty(num_reads, np.int32)
+    # hugepage-prefaulted outputs: the generator writes ~2 GB for 8M
+    # pairs, and plain np.empty pages fault in at ~16 MB/s on this VM
+    from asm_tpu.utils.hostmem import host_array
+
+    rc = host_array((num_reads, max_len), np.int8)
+    fc = host_array((num_reads, max_len), np.int8)
+    rl = host_array(num_reads, np.int32)
+    fl = host_array(num_reads, np.int32)
     lib.asm_generate_dataset(
         num_reads, length, error_rate, mismatch_rate, int(exact_error_rate),
         seed, max_len, rc, rl, fc, fl,

@@ -39,7 +39,25 @@ def difficulty_proxy(read_codes, read_len, ref_codes, ref_len) -> np.ndarray:
 
 
 def difficulty_order(read_codes, read_len, ref_codes, ref_len) -> np.ndarray:
-    """Permutation that sorts the batch easy -> hard (stable)."""
+    """Permutation that sorts the batch easy -> hard (stable).
+
+    Native fast path: parallel proxy + stable counting sort in C++
+    (native/src/hostmem.cpp asm_difficulty_sort) — bit-identical to the
+    numpy stable argsort below (tests/test_parallel.py pins this), but
+    without the multi-GB temporary that faults in at ~16 MB/s here.
+    """
+    rc = np.ascontiguousarray(read_codes)
+    fc = np.ascontiguousarray(ref_codes)
+    if (rc.dtype == np.int8 and fc.dtype == np.int8 and rc.ndim == 2
+            and rc.shape == fc.shape):
+        from asm_tpu.native import load_native
+
+        lib = load_native()
+        if lib is not None:
+            perm = np.empty(rc.shape[0], np.int64)
+            lib.asm_difficulty_sort(rc, fc, rc.shape[0], rc.shape[1],
+                                    perm, 0)
+            return perm
     return np.argsort(
         difficulty_proxy(read_codes, read_len, ref_codes, ref_len),
         kind="stable",

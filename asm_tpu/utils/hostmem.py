@@ -1,0 +1,89 @@
+"""Hugepage-backed, parallel-prefaulted host arrays.
+
+On this class of VM the hypervisor delivers never-touched physical pages
+at ~16 MB/s single-threaded, so first-touch page faults dominate any
+fresh multi-GB numpy allocation (a 1 GB buffer costs ~60 s before any
+compute). numpy's own hugepage madvise is silently ineffective (its
+malloc pointers sit 16 bytes past the page boundary -> EINVAL). The
+native runtime (native/src/hostmem.cpp) allocates 2MB-aligned mmap
+regions, madvises MADV_HUGEPAGE (512x fewer faults, ~42x observed) and
+first-touches them with all cores; `host_array` wraps one as a numpy
+array. Everything degrades to plain numpy when the native library is
+unavailable — results are identical, only slower.
+
+Role analogue in the reference: none (it streams pairs one at a time,
+benchmark_utils.h:373); this is the data-loading/allocator layer a
+TPU-scale batch pipeline needs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import weakref
+
+import numpy as np
+
+from asm_tpu.native import load_native
+
+
+def host_array(shape, dtype, nthreads: int = 0) -> np.ndarray:
+    """np.empty(shape, dtype), but hugepage-backed and pre-faulted.
+
+    Contents start zeroed (fresh anonymous pages). Falls back to
+    np.zeros when the native runtime is unavailable.
+    """
+    shape = (shape,) if np.isscalar(shape) else tuple(shape)
+    dtype = np.dtype(dtype)
+    size = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+    lib = load_native()
+    if lib is None or size == 0:
+        return np.zeros(shape, dtype)
+    ptr = lib.asm_host_alloc(size, nthreads)
+    if not ptr:
+        return np.zeros(shape, dtype)
+    buf = (ctypes.c_char * size).from_address(ptr)
+    arr = np.frombuffer(buf, dtype=dtype).reshape(shape)
+    weakref.finalize(arr, lib.asm_host_free, ptr, size)
+    return arr
+
+
+def take_rows(src: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """src[perm] for 1-D/2-D arrays, gathered in parallel into a
+    prefaulted buffer (the numpy fancy-index equivalent without the
+    16 MB/s first-touch tax)."""
+    src = np.ascontiguousarray(src)
+    perm = np.ascontiguousarray(perm, np.int64)
+    lib = load_native()
+    if lib is None:
+        return src[perm]
+    dst = host_array((perm.shape[0],) + src.shape[1:], src.dtype)
+    rowbytes = src.dtype.itemsize * int(
+        np.prod(src.shape[1:], dtype=np.int64))
+    lib.asm_apply_perm_rows(
+        src.ctypes.data_as(ctypes.c_void_p), perm,
+        dst.ctypes.data_as(ctypes.c_void_p),
+        perm.shape[0], rowbytes, 0,
+    )
+    return dst
+
+
+def read_into(path: str, offset: int, arr: np.ndarray) -> None:
+    """Parallel positioned read of arr.nbytes at offset into arr."""
+    lib = load_native(required=True)
+    got = lib.asm_read_into(
+        path.encode(), offset, arr.ctypes.data_as(ctypes.c_void_p),
+        arr.nbytes, 0,
+    )
+    if got != arr.nbytes:
+        raise IOError(f"short read from {path}: {got} != {arr.nbytes}")
+
+
+def write_from(path: str, offset: int, arr: np.ndarray) -> None:
+    lib = load_native(required=True)
+    arr = np.ascontiguousarray(arr)
+    put = lib.asm_write_from(
+        path.encode(), offset, arr.ctypes.data_as(ctypes.c_void_p),
+        arr.nbytes,
+    )
+    if put != arr.nbytes:
+        raise IOError(f"short write to {path}: {put} != {arr.nbytes}")

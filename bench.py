@@ -93,10 +93,13 @@ def main():
     # (the checksum below is permutation-invariant). BENCH_SORT=0 disables.
     if int(os.environ.get("BENCH_SORT", 1)):
         from asm_tpu.parallel import difficulty_order
+        from asm_tpu.utils.hostmem import take_rows
 
         t0 = time.perf_counter()
         perm = difficulty_order(rc, rl, fc, fl)
-        rc, rl, fc, fl = rc[perm], rl[perm], fc[perm], fl[perm]
+        # take_rows = parallel gather into prefaulted hugepage buffers
+        # (numpy fancy-indexing faults ~2 GB of fresh pages at ~16 MB/s)
+        rc, rl, fc, fl = (take_rows(a, perm) for a in (rc, rl, fc, fl))
         print(f"difficulty sort: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
 

@@ -1,0 +1,120 @@
+"""One-off headline throughput for LEAP and the NW cascade on the real chip.
+
+Same accounting as bench.py (corpus prep + staging untimed, queued chunk
+dispatches, completion forced by pulling a reduced scalar through the axon
+tunnel). Prints one JSON line per kernel.
+
+Usage:  python tools/headline_kernels.py [leap nw]
+Env:    HK_PAIRS (default 8388608), HK_CHUNK (default = pairs),
+        HK_REPS (default 3)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from asm_tpu.config import AlignConfig
+from asm_tpu.utils.corpus_cache import load_corpus
+
+# reference single-core numbers (BASELINE.md)
+BASE = {"leap": 0.65e6, "nw": 27.6e3}
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    n_pairs = int(os.environ.get("HK_PAIRS", 1 << 23))
+    chunk = int(os.environ.get("HK_CHUNK", n_pairs))
+    reps = int(os.environ.get("HK_REPS", 3))
+    which = sys.argv[1:] or ["leap", "nw"]
+
+    cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128)
+    cache = os.path.join(repo, "bench_cache", f"corpus_{n_pairs}_0.05.npz")
+    got = load_corpus(cache, n=n_pairs, err=0.05, mr=0.96, seed=42,
+                      length=100)
+    if got is None:
+        from asm_tpu.native import generate_dataset_native
+        got = generate_dataset_native(n_pairs, 100, 0.05,
+                                      mismatch_rate=0.96, seed=42,
+                                      max_len=cfg.max_len)
+    rc, rl, fc, fl = got
+    print(f"corpus ready: {n_pairs} pairs", file=sys.stderr)
+
+    def run(name, step, chunks, reduce_ix):
+        t0 = time.perf_counter()
+        for c in chunks:
+            int(np.asarray(step(*c)[reduce_ix]))
+        print(f"{name} compile+warmup: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            outs = [step(*c) for c in chunks]
+            s = sum(int(np.asarray(o[reduce_ix])) for o in outs)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            print(f"{name} rep {r}: {dt:.3f}s  "
+                  f"{n_pairs / dt / 1e6:.2f}M aligns/s  (checksum {s})",
+                  file=sys.stderr)
+        aps = n_pairs / best
+        print(json.dumps({
+            "metric": f"{name}_alignments_per_sec",
+            "value": round(aps, 1), "unit": "aligns/s",
+            "vs_baseline": round(aps / BASE[name], 3),
+        }))
+
+    if "leap" in which:
+        from asm_tpu.kernels.greedy_pallas import stage_swar_t
+        from asm_tpu.kernels.leap_pallas import leap_align_pallas
+
+        t0 = time.perf_counter()
+        rc_t, fc_t = stage_swar_t(rc), stage_swar_t(fc)
+        print(f"leap staging: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        base = jax.jit(functools.partial(leap_align_pallas, cfg=cfg,
+                                         pre_staged=True))
+
+        @jax.jit
+        def step(a, b, c, d):
+            out = base(a, b, c, d)
+            return out, jnp.sum(out["penalty"])
+
+        chunks = [
+            (jax.device_put(np.ascontiguousarray(rc_t[:, i:i + chunk])),
+             jax.device_put(rl[i:i + chunk]),
+             jax.device_put(np.ascontiguousarray(fc_t[:, i:i + chunk])),
+             jax.device_put(fl[i:i + chunk]))
+            for i in range(0, n_pairs, chunk)
+        ]
+        run("leap", step, chunks, 1)
+        del chunks
+
+    if "nw" in which:
+        from asm_tpu.kernels.nw_band import nw_penalty_auto
+
+        @jax.jit
+        def step(a, b, c, d):
+            p = nw_penalty_auto(a, b, c, d, x=cfg.x, o=cfg.o, e=cfg.e)
+            return p, jnp.sum(p)
+
+        chunks = [
+            (jax.device_put(rc[i:i + chunk]), jax.device_put(rl[i:i + chunk]),
+             jax.device_put(fc[i:i + chunk]), jax.device_put(fl[i:i + chunk]))
+            for i in range(0, n_pairs, chunk)
+        ]
+        run("nw", step, chunks, 1)
+
+
+if __name__ == "__main__":
+    main()
