@@ -1,15 +1,15 @@
 """Hugepage-backed, parallel-prefaulted host arrays.
 
-On this class of VM the hypervisor delivers never-touched physical pages
-at ~16 MB/s single-threaded, so first-touch page faults dominate any
-fresh multi-GB numpy allocation (a 1 GB buffer costs ~60 s before any
-compute). numpy's own hugepage madvise is silently ineffective (its
-malloc pointers sit 16 bytes past the page boundary -> EINVAL). The
-native runtime (native/src/hostmem.cpp) allocates 2MB-aligned mmap
-regions, madvises MADV_HUGEPAGE (512x fewer faults, ~42x observed) and
-first-touches them with all cores; `host_array` wraps one as a numpy
-array. Everything degrades to plain numpy when the native library is
-unavailable — results are identical, only slower.
+On this kernel class first-touch faults dominate any fresh multi-GB
+numpy allocation (observed as low as ~16 MB/s — a 1 GB buffer costs
+~60 s before any compute). Measured root cause: transparent-hugepage
+allocation at fault time is ~60x SLOWER than plain 4k faults here
+(~11 MB/s vs ~680 MB/s single-threaded), and 4k faulting scales with
+threads (~2.8 GB/s on 4 cores). The native runtime
+(native/src/hostmem.cpp) therefore allocates mmap regions with
+MADV_NOHUGEPAGE and first-touches them with all cores; `host_array`
+wraps one as a numpy array. Everything degrades to plain numpy when the
+native library is unavailable — results are identical, only slower.
 
 Role analogue in the reference: none (it streams pairs one at a time,
 benchmark_utils.h:373); this is the data-loading/allocator layer a

@@ -2,15 +2,16 @@
 // the host-side corpus pipeline (difficulty sort, permutation apply,
 // raw-file IO) that runs over them.
 //
-// Why this exists: on this machine the hypervisor hands out never-touched
-// physical pages at ~16 MB/s single-threaded (first-touch page faults
-// dominate any fresh multi-GB numpy allocation: a 1 GB fancy-index result
-// costs ~60 s before a single byte of compute). MADV_HUGEPAGE cuts the
-// fault count 512x (~42x observed speedup) and faulting scales with
-// threads, so every big host buffer in the bench path is allocated here:
-// mmap + MADV_HUGEPAGE + parallel first-touch. numpy's own hugepage
-// madvise is ineffective because its malloc pointers are offset 16 bytes
-// from the page boundary (madvise fails with EINVAL silently).
+// Why this exists: on this kernel (6.18.x virtualized) first-touch page
+// faults on fresh anonymous memory are the dominant cost of any multi-GB
+// host buffer, and — measured, counterintuitively — MADV_HUGEPAGE makes
+// it far WORSE: THP allocation at fault time runs ~11 MB/s single
+// threaded vs ~680 MB/s for plain 4k faults, while 4 threads on 4k
+// pages reach ~2.8 GB/s (numpy's big allocations madvise hugepages when
+// aligned, and python mallocs can land in THP-eligible arenas, which is
+// how multi-GB numpy buffers ended up faulting at ~16 MB/s). So: plain
+// 4k pages, MADV_NOHUGEPAGE to opt out explicitly, and parallel
+// first-touch with all cores.
 //
 // Reference scope note: the reference has no analogue — it streams one
 // pair at a time from a file (GASMA/benchmark/benchmark_utils.h:373) and
@@ -91,7 +92,9 @@ void* asm_host_alloc(int64_t size, int32_t nthreads) {
     void* p = mmap(nullptr, (size_t)rounded, PROT_READ | PROT_WRITE,
                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
     if (p == MAP_FAILED) return nullptr;
-    madvise(p, (size_t)rounded, MADV_HUGEPAGE);  // best-effort
+#ifdef MADV_NOHUGEPAGE
+    madvise(p, (size_t)rounded, MADV_NOHUGEPAGE);  // THP faults are ~60x
+#endif                                             // slower here, see top
     parallel_touch((char*)p, rounded, clamp_threads(nthreads));
     return p;
 }
@@ -102,11 +105,10 @@ void asm_host_free(void* p, int64_t size) {
     munmap(p, (size_t)rounded);
 }
 
-// Prefault an existing region in parallel (hugepage madvise included;
-// only effective if `p` is 2MB-aligned and pages are still untouched).
+// Prefault an existing region in parallel (4k faults; effective only on
+// still-untouched pages).
 void asm_prefault(void* p, int64_t size, int32_t nthreads) {
     if (!p || size <= 0) return;
-    madvise(p, (size_t)size, MADV_HUGEPAGE);
     parallel_touch((char*)p, size, clamp_threads(nthreads));
 }
 
