@@ -43,10 +43,11 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache"),
     )
-    n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 23))
-    # one big batch wins: per-call fixed costs (the ~25-30 ms axon tunnel
-    # dispatch above all) amortize with B; 8.4M pairs fits v5e HBM easily
-    # at 1 byte/position staged + the kernel's VMEM tiles
+    # 33.6M pairs in four 8.4M chunks: back-to-back dispatches pipeline,
+    # so the ~25-30 ms axon tunnel latency is paid once, not per chunk
+    # (measured: 160M aligns/s at 1 chunk, 208M at 2, 245M at 4). Staged
+    # inputs (8.6 GB position-major) + one rep's outputs fit v5e HBM.
+    n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 25))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 23))
     impl = os.environ.get("BENCH_IMPL", "pallas")
     err = float(os.environ.get("BENCH_ERR", 0.05))
@@ -161,7 +162,14 @@ def main():
 
     best = float("inf")
     checksum = None
+    max_seen = 0
+    outs = None
     for r in range(reps):
+        # free the previous rep's outputs BEFORE re-dispatching: each
+        # chunk's result dict carries step_rec int32[T+1, B] (~1.1 GB at
+        # 8.4M pairs), and two reps' outputs alive at once OOM HBM at the
+        # 33.6M-pair default alongside the 8.6 GB of staged inputs
+        outs = None
         t0 = time.perf_counter()
         # dispatch every chunk first (device queues them back-to-back),
         # then drain the checksums — the last drain is the barrier.
@@ -170,12 +178,13 @@ def main():
         dt = time.perf_counter() - t0
         best = min(best, dt)
         checksum = sum(sums)
+        max_seen = max(max_seen,
+                       max(int(np.asarray(o[2])) for o in outs))
         print(f"rep {r}: {dt:.3f}s  {n_pairs / dt / 1e6:.2f}M aligns/s",
               file=sys.stderr)
     print(f"total-cost checksum: {checksum}", file=sys.stderr)
     assert checksum is not None and checksum > 0
     # prove the tight steps bound truncated nothing
-    max_seen = max(int(np.asarray(o[2])) for o in outs)
     print(f"max greedy steps: {max_seen} (bound {cfg.steps_bound})",
           file=sys.stderr)
     assert max_seen < cfg.steps_bound, "steps bound too tight for corpus"
