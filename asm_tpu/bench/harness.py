@@ -99,14 +99,15 @@ def run_benchmark(
         nw_fn = jax.jit(functools.partial(
             nw_penalty_auto, x=cfg.x, o=cfg.o, e=cfg.e,
             interpret=interpret))
-        # greedy/LEAP consume the pre-staged position-major corpus
-        # (stage_swar_t) — the production layout; staging is corpus prep,
-        # the timed passes still contain all per-pair packing compute
+        # greedy/LEAP consume the pre-staged position-major 2-bit-plane
+        # corpus (stage_planes_t) — the production layout (4x denser
+        # than SWAR bytes); staging is corpus prep, the timed passes
+        # still contain the hurdle build and all alignment compute
         greedy_fn = jax.jit(functools.partial(
             greedy_align_pallas, cfg=cfg, want_cigar=False,
-            pre_staged=True, interpret=interpret))
+            pre_staged="planes", interpret=interpret))
         leap_fn = jax.jit(functools.partial(leap_align_pallas, cfg=cfg,
-                                            pre_staged=True,
+                                            pre_staged="planes",
                                             interpret=interpret))
     else:
         nw_fn = jax.jit(
@@ -132,12 +133,12 @@ def run_benchmark(
     staged = [tuple(map(jax.device_put, chunk_args(sl))) for sl in slices]
     sizes = [sl.stop - sl.start for sl in slices]
     if impl == "pallas":
-        from asm_tpu.kernels.greedy_pallas import stage_swar_t
+        from asm_tpu.kernels.greedy_pallas import stage_planes_t
 
         def stage_t(args):
             rc, rl, fc, fl = args
-            return (jax.device_put(stage_swar_t(rc)), jax.device_put(rl),
-                    jax.device_put(stage_swar_t(fc)), jax.device_put(fl))
+            return (jax.device_put(stage_planes_t(rc)), jax.device_put(rl),
+                    jax.device_put(stage_planes_t(fc)), jax.device_put(fl))
 
         staged_t = [stage_t(chunk_args(sl)) for sl in slices]
     else:

@@ -65,8 +65,8 @@ def _ctz32(w):
     return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
 
 
-def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
-                   cost_ref, steps_ref, rec_ref, st_ref, lane_ref):
+def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
+                   fl_ref, cost_ref, steps_ref, rec_ref, st_ref, lane_ref):
     k = cfg.k
     NL = cfg.num_lanes
     L = cfg.max_len
@@ -117,8 +117,16 @@ def _greedy_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
             p1.append(a1)
         return p0, p1
 
-    r_pl = pack2(rc_ref)
-    f_pl = pack2(fc_ref)
+    if planes:
+        # pre_staged="planes": rows ARE the bit-planes (stage_planes_t) —
+        # row w = plane0 word w, row W+w = plane1 word w; no pack needed
+        r_pl = ([rc_ref[w] for w in range(W)],
+                [rc_ref[W + w] for w in range(W)])
+        f_pl = ([fc_ref[w] for w in range(W)],
+                [fc_ref[W + w] for w in range(W)])
+    else:
+        r_pl = pack2(rc_ref)
+        f_pl = pack2(fc_ref)
     zero_u = jnp.zeros(shape, jnp.uint32)
 
     # ---- build hurdle rows from the packed planes -----------------------
@@ -480,6 +488,55 @@ def stage_swar_t(codes) -> "np.ndarray":
     return np.ascontiguousarray(sw.T)  # [L/4, B]
 
 
+def stage_planes_t(codes) -> "np.ndarray":
+    """Host-side corpus staging: int8 codes [B, L] -> position-major 2-bit
+    planes uint32[L//16, B]. Row w (w < W = L/32) holds plane0 (code
+    bit 0), row W+w holds plane1 (code bit 1); bit p of a plane word =
+    that code bit of position 32w+p — exactly what the in-kernel `pack2`
+    produces, so `greedy_align_pallas(..., pre_staged="planes")` consumes
+    these rows directly and skips the per-tile pack entirely.
+
+    4x denser than `stage_swar_t` (2 bits per position instead of a
+    byte): quarters the host->device upload and the kernel's HBM input
+    reads. Pad codes (4/5) lose their distinguishing high bits here,
+    which is fine by construction — the kernels mask validity closed-form
+    from the lengths (inv_r/inv_f), never from sentinel codes.
+    """
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(codes, dtype=np.int8))
+    B, L = arr.shape
+    assert L % 32 == 0
+    W = L // 32
+    sw = arr.view(np.uint32)  # [B, L/4], little-endian byte order
+    from asm_tpu.native import load_native
+
+    lib = load_native()
+    if lib is not None:
+        from asm_tpu.utils.hostmem import host_array
+
+        out = host_array((2 * W, B), np.uint32)
+        lib.asm_stage_planes_t(sw, B, W, out, 0)
+        return out
+    # numpy fallback: same carry-free multiply compaction, vectorized
+    # over the batch (uint32 wrap-around multiply matches the C path)
+    out = np.empty((2 * W, B), np.uint32)
+    M1 = np.uint32(0x01010101)
+    MM = np.uint32(0x01020408)
+    with np.errstate(over="ignore"):
+        for w in range(W):
+            a0 = np.zeros(B, np.uint32)
+            a1 = np.zeros(B, np.uint32)
+            for jj in range(8):
+                v = sw[:, 8 * w + jj]
+                a0 |= (((v & M1) * MM) >> np.uint32(24)) << np.uint32(4 * jj)
+                a1 |= ((((v >> np.uint32(1)) & M1) * MM) >> np.uint32(24)) \
+                    << np.uint32(4 * jj)
+            out[w] = a0
+            out[W + w] = a1
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "interpret", "want_cigar", "pre_staged")
 )
@@ -498,20 +555,24 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
     its CIGAR string), but expanding it to slot buffers costs more HBM
     traffic than the alignment itself at large batches.
 
-    pre_staged=True: read_codes/ref_codes are already position-major SWAR
-    words uint32[L//4, B] from `stage_swar_t` (the production corpus
-    layout). The default [B, L] int8 path bitcasts + transposes on
-    device for API compatibility, but that XLA transpose costs more than
-    the alignment itself at large B — production pipelines stage once on
-    the host and pass the staged form.
+    pre_staged=True (or "swar"): read_codes/ref_codes are already
+    position-major SWAR words uint32[L//4, B] from `stage_swar_t`.
+    pre_staged="planes": position-major 2-bit planes uint32[L//16, B]
+    from `stage_planes_t` — 4x denser, and the kernel skips the per-tile
+    pack (the production corpus layout). The default [B, L] int8 path
+    bitcasts + transposes on device for API compatibility, but that XLA
+    transpose costs more than the alignment itself at large B —
+    production pipelines stage once on the host and pass a staged form.
     """
     L = cfg.max_len
     T = cfg.steps_bound
     assert L % 32 == 0
+    planes = pre_staged == "planes"
 
     if pre_staged:
         Wq, B = read_codes.shape
-        assert Wq == L // 4 and read_codes.dtype == jnp.uint32
+        assert Wq == (L // 16 if planes else L // 4)
+        assert read_codes.dtype == jnp.uint32
         pad = (-B) % _TILE
         BP = B + pad
         if pad:
@@ -522,8 +583,8 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
             read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
             ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
         NB = BP // 128
-        rc_t = read_codes.reshape(L // 4, NB, 128)
-        fc_t = ref_codes.reshape(L // 4, NB, 128)
+        rc_t = read_codes.reshape(Wq, NB, 128)
+        fc_t = ref_codes.reshape(Wq, NB, 128)
     else:
         B, Lc = read_codes.shape
         assert Lc == L
@@ -554,10 +615,11 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
     rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
-    code_spec = pl.BlockSpec((L // 4, _SUB, 128), lambda i: (0, i, 0),
+    code_rows = L // 16 if planes else L // 4
+    code_spec = pl.BlockSpec((code_rows, _SUB, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
     grid = (NB // _SUB,)
-    kernel = functools.partial(_greedy_kernel, cfg)
+    kernel = functools.partial(_greedy_kernel, cfg, planes)
     cost, steps, rec = pl.pallas_call(
         kernel,
         grid=grid,

@@ -36,8 +36,9 @@ def _ctz32(w):
     return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
 
 
-def _leap_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
-                 passed_ref, pen_ref, lane_ref_out, hist_ref, st_ref):
+def _leap_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
+                 fl_ref, passed_ref, pen_ref, lane_ref_out, hist_ref,
+                 st_ref):
     k = cfg.k
     TL = cfg.leap_total_lanes
     mid = k + 1
@@ -83,8 +84,16 @@ def _leap_kernel(cfg: AlignConfig, rc_ref, fc_ref, rl_ref, fl_ref,
             p1.append(a1)
         return p0, p1
 
-    r_pl = pack2(rc_ref)
-    f_pl = pack2(fc_ref)
+    if planes:
+        # pre_staged="planes": rows ARE the bit-planes (stage_planes_t) —
+        # row w = plane0 word w, row W+w = plane1 word w; no pack needed
+        r_pl = ([rc_ref[w] for w in range(W)],
+                [rc_ref[W + w] for w in range(W)])
+        f_pl = ([fc_ref[w] for w in range(W)],
+                [fc_ref[W + w] for w in range(W)])
+    else:
+        r_pl = pack2(rc_ref)
+        f_pl = pack2(fc_ref)
     zero_u = jnp.zeros(shape, jnp.uint32)
 
     def funnel_l(words, s):
@@ -281,19 +290,24 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     History/backtracking mode is NOT supported here — use the XLA path
     (leap_align(..., want_history=True)) for CIGARs.
 
-    pre_staged=True: codes are position-major SWAR words uint32[L//4, B]
-    from greedy_pallas.stage_swar_t (the shared production corpus
-    layout). The [B, L] path bitcasts + transposes on device — correct
-    but slow at large B (XLA's transpose runs far below HBM speed).
+    pre_staged=True (or "swar"): codes are position-major SWAR words
+    uint32[L//4, B] from greedy_pallas.stage_swar_t. pre_staged="planes":
+    position-major 2-bit planes uint32[L//16, B] from
+    greedy_pallas.stage_planes_t — 4x denser, kernel skips the per-tile
+    pack (the shared production corpus layout). The [B, L] path bitcasts
+    + transposes on device — correct but slow at large B (XLA's
+    transpose runs far below HBM speed).
     """
     L = cfg.max_len
     assert L % 32 == 0
     TL = cfg.leap_total_lanes
     R = max(cfg.o, cfg.e, cfg.x) + 1
+    planes = pre_staged == "planes"
 
     if pre_staged:
         Wq, B = read_codes.shape
-        assert Wq == L // 4 and read_codes.dtype == jnp.uint32
+        assert Wq == (L // 16 if planes else L // 4)
+        assert read_codes.dtype == jnp.uint32
         pad = (-B) % _TILE
         BP = B + pad
         if pad:
@@ -304,8 +318,8 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
             read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
             ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
         NB = BP // 128
-        rc_t = read_codes.reshape(L // 4, NB, 128)
-        fc_t = ref_codes.reshape(L // 4, NB, 128)
+        rc_t = read_codes.reshape(Wq, NB, 128)
+        fc_t = ref_codes.reshape(Wq, NB, 128)
     else:
         B, Lc = read_codes.shape
         assert Lc == L
@@ -330,14 +344,15 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
-    kernel = functools.partial(_leap_kernel, cfg)
+    code_rows = L // 16 if planes else L // 4
+    kernel = functools.partial(_leap_kernel, cfg, planes)
     passed, pen, shift = pl.pallas_call(
         kernel,
         grid=(NB // _SUB,),
         in_specs=[
-            pl.BlockSpec((L // 4, _SUB, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((code_rows, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L // 4, _SUB, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((code_rows, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

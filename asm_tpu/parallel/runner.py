@@ -113,9 +113,11 @@ def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
     returns compact packed step records instead.
     interpret=True (pallas only) runs the kernel in Pallas interpret mode
     so the exact shipped bench path is testable on the hermetic CPU mesh.
-    pre_staged=True (pallas only): codes arrive position-major
-    (uint32[L//4, B] from greedy_pallas.stage_swar_t, batch on axis 1 —
-    the production corpus layout that skips the device transpose).
+    pre_staged (pallas only): True/"swar" = codes arrive position-major
+    (uint32[L//4, B] from greedy_pallas.stage_swar_t, batch on axis 1);
+    "planes" = position-major 2-bit planes (uint32[L//16, B] from
+    stage_planes_t — the production corpus layout, 4x denser, skips the
+    in-kernel pack). Both skip the device transpose.
     """
     axis = mesh.axis_names[0]
     b = P(axis)

@@ -105,7 +105,7 @@ def main():
               file=sys.stderr)
 
     mesh = make_mesh()
-    pre_staged = impl == "pallas"
+    pre_staged = "planes" if impl == "pallas" else False
     base_step = make_sharded_greedy(mesh, cfg, impl=impl,
                                     pre_staged=pre_staged)
 
@@ -118,16 +118,19 @@ def main():
         return out, jnp.sum(out["cost"]), jnp.max(out["steps"])
 
     # stage chunks on device (outside the timed region). For the pallas
-    # path the corpus is staged position-major (stage_swar_t) — the
-    # production layout; XLA's device transpose to that layout runs ~25x
-    # below HBM speed and used to dominate the whole timed pipeline.
+    # path the corpus is staged position-major as 2-bit planes
+    # (stage_planes_t) — the production layout: 4x denser than SWAR
+    # bytes (2.15 GB instead of 8.6 GB at 33.6M pairs), so uploads and
+    # the kernel's HBM input reads shrink 4x, and the kernel skips the
+    # per-tile pack. XLA's device transpose to any position-major layout
+    # runs ~25x below HBM speed and used to dominate the whole pipeline.
     if pre_staged:
-        from asm_tpu.kernels.greedy_pallas import stage_swar_t
+        from asm_tpu.kernels.greedy_pallas import stage_planes_t
         from asm_tpu.parallel import shard_on_axis
 
         t0 = time.perf_counter()
-        rc_t = stage_swar_t(rc)
-        fc_t = stage_swar_t(fc)
+        rc_t = stage_planes_t(rc)
+        fc_t = stage_planes_t(fc)
         print(f"host staging: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
     chunks = []

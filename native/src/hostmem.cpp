@@ -208,6 +208,47 @@ void asm_stage_swar_t(const uint32_t* src, int64_t B, int32_t W,
     });
 }
 
+// Position-major 2-bit-plane staging: src uint32[B, 8*W] SWAR code words
+// (byte j = code of position 4*word+j) -> dst uint32[2*W, B] where
+// dst[w*B + i] is plane0 (code bit 0) of pair i's positions 32w..32w+31
+// and dst[(W+w)*B + i] is plane1 (code bit 1) — bit p of a plane word =
+// the code bit of position 32w+p, the little-endian plane order the
+// pallas kernels' in-kernel pack2 produces (kernels/greedy_pallas.py).
+// 4x smaller than the SWAR layout: 2 bits per position instead of a
+// byte, which quarters both the host->device upload and the kernels'
+// HBM input reads. The per-byte bit gathers use the same carry-free
+// 0x01020408 multiply compaction as the kernels (nothing else reaches
+// bits 24..31, so the four byte-bits land contiguously at 24..27).
+void asm_stage_planes_t(const uint32_t* src, int64_t B, int32_t W,
+                        uint32_t* dst, int32_t nthreads) {
+    constexpr int64_t kRows = 512;
+    const int32_t W4 = 8 * W;
+    parallel_for((B + kRows - 1) / kRows, clamp_threads(nthreads),
+                 [=](int64_t blo, int64_t bhi) {
+        for (int64_t blk = blo; blk < bhi; blk++) {
+            int64_t i0 = blk * kRows;
+            int64_t i1 = i0 + kRows < B ? i0 + kRows : B;
+            for (int32_t w = 0; w < W; w++) {
+                uint32_t* d0 = dst + (int64_t)w * B;
+                uint32_t* d1 = dst + (int64_t)(W + w) * B;
+                for (int64_t i = i0; i < i1; i++) {
+                    const uint32_t* s = src + i * W4 + 8 * w;
+                    uint32_t a0 = 0, a1 = 0;
+                    for (int jj = 0; jj < 8; jj++) {
+                        uint32_t v = s[jj];
+                        a0 |= (((v & 0x01010101u) * 0x01020408u) >> 24)
+                              << (4 * jj);
+                        a1 |= ((((v >> 1) & 0x01010101u) * 0x01020408u)
+                               >> 24) << (4 * jj);
+                    }
+                    d0[i] = a0;
+                    d1[i] = a1;
+                }
+            }
+        }
+    });
+}
+
 // Parallel positioned read of `size` bytes at `offset` into dst.
 // Returns bytes read (== size on success, < 0 on open failure).
 int64_t asm_read_into(const char* path, int64_t offset, void* dst,

@@ -70,6 +70,26 @@ def test_pallas_pre_staged_matches_batch_major():
                                       np.asarray(ref[key]))
 
 
+def test_pallas_planes_pre_staged_matches_batch_major():
+    """The 2-bit-plane pre-staged layout (stage_planes_t, 4x denser than
+    SWAR) must be bit-identical to the [B, L] int8 API path — the kernel
+    consumes host-packed planes directly instead of packing per tile."""
+    from asm_tpu.kernels.greedy_pallas import stage_planes_t
+
+    cfg = AlignConfig(max_steps=24)
+    rc, rl, fc, fl = generate_dataset_arrays(200, 100, 0.15, 0.8, seed=11)
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    ref = greedy_align_pallas(*a, cfg, interpret=True)
+    got = greedy_align_pallas(
+        jnp.asarray(stage_planes_t(rc)), a[1],
+        jnp.asarray(stage_planes_t(fc)), a[3],
+        cfg, interpret=True, pre_staged="planes",
+    )
+    for key in ("cost", "steps", "cigar_ops", "cigar_runs"):
+        np.testing.assert_array_equal(np.asarray(got[key]),
+                                      np.asarray(ref[key]))
+
+
 def test_pallas_rejects_unsupported_flip_threshold():
     cfg = AlignConfig(flip_threshold=2, max_steps=8)
     corpus = generate_dataset_arrays(8, 50, 0.1, seed=1)

@@ -83,6 +83,37 @@ def test_stage_swar_t_native_matches_numpy():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_stage_planes_t_native_matches_numpy():
+    """Native 2-bit-plane staging == the pure-numpy fallback, and both
+    carry exactly the kernels' in-kernel pack2 bit order (bit p of plane
+    word w = code bit of position 32w+p, planes stacked [plane0; plane1])."""
+    import asm_tpu.native as natmod
+    from asm_tpu.kernels.greedy_pallas import stage_planes_t
+
+    rng = np.random.default_rng(5)
+    for B, L in [(3, 128), (1537, 128), (64, 32)]:
+        arr = rng.integers(0, 6, (B, L)).astype(np.int8)
+        got = np.asarray(stage_planes_t(arr))
+        # independent scalar reference straight from the layout contract
+        W = L // 32
+        ref = np.zeros((2 * W, B), np.uint32)
+        for i in range(B):
+            for p in range(L):
+                w, bit = divmod(p, 32)
+                c = int(arr[i, p])
+                ref[w, i] |= np.uint32((c & 1) << bit)
+                ref[W + w, i] |= np.uint32(((c >> 1) & 1) << bit)
+        np.testing.assert_array_equal(got, ref)
+        if natmod.load_native() is not None:
+            lib_save, fail_save = natmod._lib, natmod._load_failed
+            natmod._lib, natmod._load_failed = None, True
+            try:
+                fallback = np.asarray(stage_planes_t(arr))
+            finally:
+                natmod._lib, natmod._load_failed = lib_save, fail_save
+            np.testing.assert_array_equal(got, fallback)
+
+
 def test_corpus_cache_raw_roundtrip(tmp_path):
     from asm_tpu.utils.corpus_cache import load_corpus, save_corpus
 

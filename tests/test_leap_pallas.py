@@ -60,3 +60,23 @@ def test_leap_pallas_pre_staged_matches_batch_major():
         np.testing.assert_array_equal(
             np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
         )
+
+
+def test_leap_pallas_planes_pre_staged_matches_batch_major():
+    """The 2-bit-plane pre-staged layout (stage_planes_t) must be
+    bit-identical to the [B, L] int8 path, including _TILE padding."""
+    from asm_tpu.kernels.greedy_pallas import stage_planes_t
+
+    cfg = AlignConfig(leap_af_threshold=60)
+    rc, rl, fc, fl = generate_dataset_arrays(200, 100, 0.15, 0.8, seed=11)
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    ref = leap_align_pallas(*a, cfg, interpret=True)
+    got = leap_align_pallas(
+        jnp.asarray(stage_planes_t(rc)), a[1],
+        jnp.asarray(stage_planes_t(fc)), a[3],
+        cfg, interpret=True, pre_staged="planes",
+    )
+    for key in ("passed", "penalty", "lane_shift"):
+        np.testing.assert_array_equal(
+            np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+        )

@@ -121,3 +121,32 @@ def test_sharded_greedy_matches_plain(corpus):
         np.asarray(out_sharded["cigar_runs"]),
         np.asarray(out_plain["cigar_runs"]),
     )
+
+
+def test_sharded_greedy_pallas_planes_matches_xla(corpus):
+    """bench.py's production path — pre-staged 2-bit-plane corpus,
+    make_sharded_greedy(impl='pallas', pre_staged='planes') — equals the
+    sharded XLA kernel on the hermetic 8-device CPU mesh."""
+    from asm_tpu.kernels.greedy_pallas import stage_planes_t
+    from asm_tpu.parallel import shard_on_axis
+
+    cfg = AlignConfig(k=3, max_steps=24)
+    mesh = make_mesh()
+    rc, rl, fc, fl = corpus
+    rl_d, fl_d = shard_batch(mesh, rl, fl)
+    out_p = make_sharded_greedy(
+        mesh, cfg, impl="pallas", want_cigar=False, interpret=True,
+        pre_staged="planes",
+    )(
+        shard_on_axis(mesh, stage_planes_t(rc), 1), rl_d,
+        shard_on_axis(mesh, stage_planes_t(fc), 1), fl_d,
+    )
+    out_x = make_sharded_greedy(mesh, cfg, impl="xla")(
+        *shard_batch(mesh, *corpus)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_p["cost"]), np.asarray(out_x["cost"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_p["steps"]), np.asarray(out_x["steps"])
+    )

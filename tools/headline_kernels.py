@@ -75,15 +75,15 @@ def main():
         }))
 
     if "leap" in which:
-        from asm_tpu.kernels.greedy_pallas import stage_swar_t
+        from asm_tpu.kernels.greedy_pallas import stage_planes_t
         from asm_tpu.kernels.leap_pallas import leap_align_pallas
 
         t0 = time.perf_counter()
-        rc_t, fc_t = stage_swar_t(rc), stage_swar_t(fc)
+        rc_t, fc_t = stage_planes_t(rc), stage_planes_t(fc)
         print(f"leap staging: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
         base = jax.jit(functools.partial(leap_align_pallas, cfg=cfg,
-                                         pre_staged=True))
+                                         pre_staged="planes"))
 
         @jax.jit
         def step(a, b, c, d):
