@@ -488,7 +488,7 @@ def stage_swar_t(codes) -> "np.ndarray":
     return np.ascontiguousarray(sw.T)  # [L/4, B]
 
 
-def stage_planes_t(codes) -> "np.ndarray":
+def stage_planes_t(codes, perm=None) -> "np.ndarray":
     """Host-side corpus staging: int8 codes [B, L] -> position-major 2-bit
     planes uint32[L//16, B]. Row w (w < W = L/32) holds plane0 (code
     bit 0), row W+w holds plane1 (code bit 1); bit p of a plane word =
@@ -501,6 +501,10 @@ def stage_planes_t(codes) -> "np.ndarray":
     reads. Pad codes (4/5) lose their distinguishing high bits here,
     which is fine by construction — the kernels mask validity closed-form
     from the lengths (inv_r/inv_f), never from sentinel codes.
+
+    perm (optional int64[B]): output pair i is packed from input row
+    perm[i] — fuses a batch permutation (the difficulty sort) into
+    staging so the multi-GB permuted raw-corpus copy never exists.
     """
     import numpy as np
 
@@ -509,15 +513,24 @@ def stage_planes_t(codes) -> "np.ndarray":
     assert L % 32 == 0
     W = L // 32
     sw = arr.view(np.uint32)  # [B, L/4], little-endian byte order
+    if perm is not None:
+        perm = np.ascontiguousarray(np.asarray(perm, dtype=np.int64))
+        assert perm.shape == (B,)
     from asm_tpu.native import load_native
 
     lib = load_native()
     if lib is not None:
+        import ctypes
+
         from asm_tpu.utils.hostmem import host_array
 
         out = host_array((2 * W, B), np.uint32)
-        lib.asm_stage_planes_t(sw, B, W, out, 0)
+        pp = (ctypes.c_void_p(perm.ctypes.data) if perm is not None
+              else ctypes.c_void_p(None))
+        lib.asm_stage_planes_t(sw, pp, B, W, out, 0)
         return out
+    if perm is not None:
+        sw = sw[perm]
     # numpy fallback: same carry-free multiply compaction, vectorized
     # over the batch (uint32 wrap-around multiply matches the C path)
     out = np.empty((2 * W, B), np.uint32)

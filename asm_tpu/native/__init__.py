@@ -114,7 +114,7 @@ def _configure(lib):
     ]
     lib.asm_stage_planes_t.restype = None
     lib.asm_stage_planes_t.argtypes = [
-        u32p, c.c_int64, c.c_int32, u32p, c.c_int32,
+        u32p, c.c_void_p, c.c_int64, c.c_int32, u32p, c.c_int32,
     ]
     lib.asm_read_into.restype = c.c_int64
     lib.asm_read_into.argtypes = [

@@ -43,12 +43,15 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache"),
     )
-    # 33.6M pairs in four 8.4M chunks: back-to-back dispatches pipeline,
-    # so the ~25-30 ms axon tunnel latency is paid once, not per chunk
-    # (measured: 160M aligns/s at 1 chunk, 208M at 2, 245M at 4). Staged
-    # inputs (8.6 GB position-major) + one rep's outputs fit v5e HBM.
-    n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 25))
-    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 23))
+    # 67.1M pairs in two 33.6M chunks: back-to-back dispatches pipeline,
+    # so the ~25-30 ms axon tunnel latency is paid once, not per chunk,
+    # and big chunks amortize per-dispatch overhead (measured, planes
+    # layout: 296M aligns/s at 33.6M/4x8.4M, 263M at 67M/8x8.4M, 488M at
+    # 67M/4x16.8M, 490M at 67M/2x33.6M — stable at 0.137s/rep). Staged
+    # 2-bit-plane inputs (4.3 GB) + per-chunk step-record temps (4.4 GB,
+    # transient) + one rep's cost/steps fit v5e HBM with room.
+    n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 26))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 25))
     impl = os.environ.get("BENCH_IMPL", "pallas")
     err = float(os.environ.get("BENCH_ERR", 0.05))
     reps = int(os.environ.get("BENCH_REPS", 3))
@@ -92,15 +95,24 @@ def main():
     # the global worst case. Host-side corpus prep, outside the timed
     # region like the reference's file parse; per-pair results unchanged
     # (the checksum below is permutation-invariant). BENCH_SORT=0 disables.
+    perm = None
     if int(os.environ.get("BENCH_SORT", 1)):
         from asm_tpu.parallel import difficulty_order
         from asm_tpu.utils.hostmem import take_rows
 
         t0 = time.perf_counter()
         perm = difficulty_order(rc, rl, fc, fl)
-        # take_rows = parallel gather into prefaulted hugepage buffers
-        # (numpy fancy-indexing faults ~2 GB of fresh pages at ~16 MB/s)
-        rc, rl, fc, fl = (take_rows(a, perm) for a in (rc, rl, fc, fl))
+        if impl == "pallas":
+            # codes stay unpermuted — the permutation is fused into
+            # stage_planes_t below, so the multi-GB reordered copy of
+            # the raw corpus never exists; only the small length
+            # vectors are gathered here
+            rl, fl = take_rows(rl, perm), take_rows(fl, perm)
+        else:
+            # take_rows = parallel gather into prefaulted hugepage
+            # buffers (numpy fancy-indexing faults fresh pages slowly)
+            rc, rl, fc, fl = (take_rows(a, perm)
+                              for a in (rc, rl, fc, fl))
         print(f"difficulty sort: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
 
@@ -111,11 +123,18 @@ def main():
 
     # fold the checksum/steps reductions into the SAME dispatch as the
     # kernel: the axon tunnel costs ~25-30 ms per dispatch, so a separate
-    # jnp.sum launch per chunk would tax the timed region measurably
+    # jnp.sum launch per chunk would tax the timed region measurably.
+    # Return per-pair cost/steps but NOT the packed step records: the
+    # kernel still writes them (a pallas output is never dead while any
+    # kernel output is live — same work either way; want_cigar paths
+    # retain them), but as a jit-internal temp the ~1.1 GB/chunk record
+    # buffer lives only while its chunk executes, so 8+ queued chunks'
+    # retained outputs no longer have to coexist in HBM.
     @jax.jit
     def step(rc, rl, fc, fl):
         out = base_step(rc, rl, fc, fl)
-        return out, jnp.sum(out["cost"]), jnp.max(out["steps"])
+        return (out["cost"], out["steps"],
+                jnp.sum(out["cost"]), jnp.max(out["steps"]))
 
     # stage chunks on device (outside the timed region). For the pallas
     # path the corpus is staged position-major as 2-bit planes
@@ -129,8 +148,8 @@ def main():
         from asm_tpu.parallel import shard_on_axis
 
         t0 = time.perf_counter()
-        rc_t = stage_planes_t(rc)
-        fc_t = stage_planes_t(fc)
+        rc_t = stage_planes_t(rc, perm=perm)
+        fc_t = stage_planes_t(fc, perm=perm)
         print(f"host staging: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
     chunks = []
@@ -155,7 +174,7 @@ def main():
         which would make the timings fiction. Pulling a reduced scalar to
         host is a true execution barrier on every backend.
         """
-        return int(np.asarray(res[1]))  # the in-dispatch cost checksum
+        return int(np.asarray(res[2]))  # the in-dispatch cost checksum
 
     # warmup / compile (first execution can carry one-time backend cost)
     t0 = time.perf_counter()
@@ -168,21 +187,25 @@ def main():
     max_seen = 0
     outs = None
     for r in range(reps):
-        # free the previous rep's outputs BEFORE re-dispatching: each
-        # chunk's result dict carries step_rec int32[T+1, B] (~1.1 GB at
-        # 8.4M pairs), and two reps' outputs alive at once OOM HBM at the
-        # 33.6M-pair default alongside the 8.6 GB of staged inputs
+        # free the previous rep's outputs BEFORE re-dispatching so only
+        # one rep's per-pair cost/steps arrays are alive alongside the
+        # staged inputs
         outs = None
         t0 = time.perf_counter()
-        # dispatch every chunk first (device queues them back-to-back),
-        # then drain the checksums — the last drain is the barrier.
+        # dispatch every chunk first (device queues them back-to-back);
+        # the device executes dispatches in order, so forcing the LAST
+        # chunk's checksum is a completion barrier for every chunk — one
+        # tunnel roundtrip in the timed region instead of K (each pull
+        # costs ~25-30 ms through the axon tunnel; on local hardware the
+        # equivalent device-sync is microseconds).
         outs = [step(*c) for c in chunks]
-        sums = [force(o) for o in outs]
+        last = force(outs[-1])
         dt = time.perf_counter() - t0
         best = min(best, dt)
-        checksum = sum(sums)
+        # drain the remaining (already-completed) checksums untimed
+        checksum = sum(force(o) for o in outs[:-1]) + last
         max_seen = max(max_seen,
-                       max(int(np.asarray(o[2])) for o in outs))
+                       max(int(np.asarray(o[3])) for o in outs))
         print(f"rep {r}: {dt:.3f}s  {n_pairs / dt / 1e6:.2f}M aligns/s",
               file=sys.stderr)
     print(f"total-cost checksum: {checksum}", file=sys.stderr)

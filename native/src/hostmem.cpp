@@ -219,8 +219,13 @@ void asm_stage_swar_t(const uint32_t* src, int64_t B, int32_t W,
 // HBM input reads. The per-byte bit gathers use the same carry-free
 // 0x01020408 multiply compaction as the kernels (nothing else reaches
 // bits 24..31, so the four byte-bits land contiguously at 24..27).
-void asm_stage_planes_t(const uint32_t* src, int64_t B, int32_t W,
-                        uint32_t* dst, int32_t nthreads) {
+// `perm` (optional, may be null): output pair i is packed from source
+// row perm[i] — fusing a batch permutation (e.g. the difficulty sort)
+// into staging, so the multi-GB permuted copy of the raw corpus is
+// never materialized (the gather and the pack read each byte once).
+void asm_stage_planes_t(const uint32_t* src, const int64_t* perm,
+                        int64_t B, int32_t W, uint32_t* dst,
+                        int32_t nthreads) {
     constexpr int64_t kRows = 512;
     const int32_t W4 = 8 * W;
     parallel_for((B + kRows - 1) / kRows, clamp_threads(nthreads),
@@ -232,7 +237,8 @@ void asm_stage_planes_t(const uint32_t* src, int64_t B, int32_t W,
                 uint32_t* d0 = dst + (int64_t)w * B;
                 uint32_t* d1 = dst + (int64_t)(W + w) * B;
                 for (int64_t i = i0; i < i1; i++) {
-                    const uint32_t* s = src + i * W4 + 8 * w;
+                    int64_t r = perm ? perm[i] : i;
+                    const uint32_t* s = src + r * W4 + 8 * w;
                     uint32_t a0 = 0, a1 = 0;
                     for (int jj = 0; jj < 8; jj++) {
                         uint32_t v = s[jj];

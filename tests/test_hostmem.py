@@ -112,6 +112,11 @@ def test_stage_planes_t_native_matches_numpy():
             finally:
                 natmod._lib, natmod._load_failed = lib_save, fail_save
             np.testing.assert_array_equal(got, fallback)
+        # fused permutation == permute-then-stage (native and fallback)
+        perm = rng.permutation(B).astype(np.int64)
+        fused = np.asarray(stage_planes_t(arr, perm=perm))
+        np.testing.assert_array_equal(fused,
+                                      np.asarray(stage_planes_t(arr[perm])))
 
 
 def test_corpus_cache_raw_roundtrip(tmp_path):
