@@ -36,6 +36,15 @@ def test_greedy_long_reads(length, max_len):
     # pallas agrees at the longer word count (W = max_len/32)
     got = greedy_align_pallas(*a, cfg, interpret=True)
     np.testing.assert_array_equal(np.asarray(got["cost"]), cost)
+    # and so does the production 2-bit-plane pre-staged layout
+    from asm_tpu.kernels.greedy_pallas import stage_planes_t
+
+    got_p = greedy_align_pallas(
+        jnp.asarray(stage_planes_t(rc)), a[1],
+        jnp.asarray(stage_planes_t(fc)), a[3],
+        cfg, interpret=True, pre_staged="planes",
+    )
+    np.testing.assert_array_equal(np.asarray(got_p["cost"]), cost)
 
 
 def test_leap_long_reads():
