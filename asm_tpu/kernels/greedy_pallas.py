@@ -188,17 +188,6 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
         den.append(words)
 
     # ---- packed-word queries -------------------------------------------
-    def first_set_from(words, c=None, invert=False, lo_masks=None):
-        lo_masks = lo_masks if lo_masks is not None else masks_ge(c)
-        best = jnp.full(shape, L, jnp.int32)
-        for w in range(W):
-            row = ~words[w] if invert else words[w]
-            masked = row & lo_masks[w]
-            idx = 32 * w + _ctz32(masked)
-            idx = jnp.where(masked == 0, L, idx)
-            best = jnp.minimum(best, idx)
-        return best
-
     def count_range(words, lo, hi, lo_masks=None):
         lo_masks = lo_masks if lo_masks is not None else masks_ge(lo)
         cnt = jnp.zeros(shape, jnp.int32)
@@ -281,9 +270,27 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
             rc_ = (sp[li] < sc) & act
             mge_sc = masks_ge(sc)
             sc_masks.append(mge_sc)
-            fz = first_set_from(den[li], invert=True, lo_masks=mge_sc)
+            # fused first_zero + next first_one in ONE pass over the row:
+            # u = den with every bit below sc forced to 1, so u's trailing
+            # ones run exactly through fz-1 (den bits in [sc, fz) are all
+            # ones by fz's definition). The multiword increment u+1 clears
+            # that run, hence u & (u+1) = den restricted to bits > fz —
+            # the second query's operand without building masks_ge(fz).
+            u = [den[li][w] | ~mge_sc[w] for w in range(W)]
+            fz = jnp.full(shape, L, jnp.int32)
+            for w in range(W):
+                nu = ~u[w]  # = ~den & mask_ge(sc)
+                idx = 32 * w + _ctz32(nu)
+                fz = jnp.minimum(fz, jnp.where(nu == 0, L, idx))
+            carry = jnp.ones(shape, jnp.uint32)
+            no_g = jnp.full(shape, L, jnp.int32)
+            for w in range(W):
+                s_w = u[w] + carry
+                carry = carry & (s_w == 0).astype(jnp.uint32)
+                v_w = u[w] & s_w
+                idx = 32 * w + _ctz32(v_w)
+                no_g = jnp.minimum(no_g, jnp.where(v_w == 0, L, idx))
             sp_new = jnp.where(sc > L, sc, fz)
-            no_g = first_set_from(den[li], sp_new)
             raw_len = jnp.where((sp_new >= L) | (no_g >= L), L, no_g - sp_new)
             clamp = sp_new + raw_len > dest[li]
             len_new = jnp.where(

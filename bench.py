@@ -55,8 +55,9 @@ def main():
     impl = os.environ.get("BENCH_IMPL", "pallas")
     err = float(os.environ.get("BENCH_ERR", 0.05))
     reps = int(os.environ.get("BENCH_REPS", 3))
-    # 32 bounds the greedy step records tightly (observed max ~10 on
-    # err<=0.2 corpora); a post-run assertion proves no pair was truncated
+    # 32 bounds the greedy step records (the 67.1M-pair corpus tail needs
+    # >=16 steps — a T=16 run trips the truncation assert below); the
+    # post-run assertion proves no pair was truncated
     max_steps = int(os.environ.get("BENCH_MAX_STEPS", 32))
     cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128, max_steps=max_steps)
 
