@@ -41,9 +41,13 @@ UNREACHED = -2
 BIG = 1 << 29
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "want_history"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "want_history", "semantics",
+                              "use_shd_gate")
+)
 def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
-               want_history: bool = False):
+               want_history: bool = False, semantics: str = "lv_bag",
+               use_shd_gate: bool = False):
     """Run LEAP on a batch.
 
     Returns dict(passed bool[B], penalty int32[B] (= af_threshold+1 when not
@@ -54,7 +58,38 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
     input to leap_backtrack (host-side CIGAR reconstruction, mirroring
     LV::backtrack LV_BAG.cpp:250-354). History costs 4*(af+1)*TL ints per
     pair; use small batches in CIGAR mode.
+
+    semantics selects the reference kernel being mirrored (both share
+    the wavefront; they differ in how the converged lane and reported
+    ED are chosen):
+      * "lv_bag" (default): LV_BAG.cpp — the benchmark's scalar kernel.
+        GLOBAL/SEMI_FREE_BEGIN pick the minimum corrected energy among
+        lanes converging at the same e; the reported penalty is the
+        UNcorrected e.
+      * "simd_ed_lev": SIMD_ED::run_levenshtein (SIMD_ED.cpp:269-353) —
+        requires unit penalties and af == k (init_levenshtein's ED_t is
+        both band and threshold). The run stops at the FIRST converged
+        lane (lane order), and GLOBAL/SEMI_FREE_BEGIN report
+        converge_ED = e + |lane - mid|, passing iff converge_ED <= k —
+        so a pair can stop WITHOUT passing.
+      * "simd_ed_affine": SIMD_ED::run_affine (SIMD_ED.cpp:488-616) —
+        as lv_bag, but GLOBAL/SEMI_FREE_BEGIN report the CORRECTED
+        converge_ED (get_ED, SIMD_ED.cpp:748-753); pairs that never
+        pass (and pairs converging at e=0, which return before any
+        correction) report the reset value 1000000 (SIMD_ED.cpp:485).
+    SIMD_ED penalties mirror a FRESH kernel per pair; the reference
+    object leaks state across pairs (see reference_impl.simd_ed_ref,
+    whose run_pair flags affected pairs).
+
+    use_shd_gate=True (simd_ed_lev only) fuses the reference's in-run
+    SHD pre-filter (SIMD_ED.cpp:270 -> SHD.cpp:335-385) into this same
+    jitted program: gated-out pairs are stopped before the wavefront
+    with passed=False, penalty=0 (what a fresh SIMD_ED's get_ED
+    returns after the early return). The affine gate is NOT offered —
+    the reference's is undefined behavior (reads 2*SHD_threshold+1
+    masks from a 2*k+3 array, SIMD_ED.cpp:489).
     """
+    assert semantics in ("lv_bag", "simd_ed_lev", "simd_ed_affine")
     B, L = read_codes.shape
     k = cfg.k
     TL = cfg.leap_total_lanes
@@ -62,6 +97,21 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
     ms, go, ge = cfg.x, cfg.o, cfg.e
     af = cfg.leap_af_threshold
     mode = cfg.leap_mode
+    corrected = mode in (LeapMode.GLOBAL, LeapMode.SEMI_FREE_BEGIN)
+    if semantics != "lv_bag":
+        assert not want_history, (
+            "SIMD_ED CIGARs come from reference_impl.simd_ed_ref; the "
+            "batched history path mirrors LV_BAG"
+        )
+    if semantics == "simd_ed_lev":
+        assert (ms, go, ge) == (1, 1, 1) and af == k, (
+            "init_levenshtein(ED_t): unit penalties, af_threshold == k"
+        )
+    if use_shd_gate:
+        assert semantics == "simd_ed_lev", (
+            "the reference gates run_levenshtein only (the affine gate "
+            "is UB; lv_bag has no gate)"
+        )
     # ring depth: backtracking needs the full energy history; the plain
     # filter path only the last max(go, ge, ms)+1 rows
     R = (af + 1) if want_history else max(go, ge, ms) + 1
@@ -96,8 +146,45 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
     end0 = jnp.where(start0 >= 0, count_id(start0), UNREACHED)
 
     conv0 = (end0 == buflen[:, None]) & (start0 >= 0) & interior[None, :]
-    passed0 = jnp.any(conv0, axis=1)
-    lane0 = jnp.argmax(conv0, axis=1).astype(jnp.int32)  # first converged lane
+    conv0_any = jnp.any(conv0, axis=1)
+    if semantics == "lv_bag":
+        # first converged lane in LV_BAG's scan order (LV_BAG.cpp:131-144)
+        lane0 = jnp.argmax(conv0, axis=1).astype(jnp.int32)
+    else:
+        # SIMD_ED's scan order is mirrored vs this kernel's lane axis
+        lane0 = (
+            TL - 1 - jnp.argmax(jnp.flip(conv0, axis=1), axis=1)
+        ).astype(jnp.int32)
+
+    # an e=0 convergence bypasses every correction (SIMD_ED.cpp:287-291,
+    # 509-513; LV_BAG.cpp:139-144), so all semantics pass on it; they
+    # differ in the penalty a fresh kernel reports for it / by default
+    if semantics == "simd_ed_affine" and corrected:
+        pen0, default_pen = 1000000, 1000000  # reset_affine converge_ED
+    elif corrected or semantics == "lv_bag":
+        pen0, default_pen = 0, af + 1
+    else:  # simd_ed fresh final_ED in LOCAL / SEMI_FREE_END modes
+        pen0, default_pen = 0, 0
+    passed0 = conv0_any
+    stop0 = conv0_any
+    if use_shd_gate:
+        # the reference gates BEFORE the e=0 row (SIMD_ED.cpp:270): a
+        # gated-out pair never runs, ED_pass=false, and a fresh object's
+        # get_ED reads converge_ED == 0
+        rc0 = jnp.where(read_codes < 4, read_codes, 0)
+        fc0 = jnp.where(ref_codes < 4, ref_codes, 0)
+        from asm_tpu.kernels.shd import shd_gate_masks
+
+        gate_ok = shd_gate_masks(
+            build_leap_lanes(rc0, fc0, k)[:, 1:-1, :], buflen, k
+        )
+        passed0 = passed0 & gate_ok
+        stop0 = stop0 | ~gate_ok
+        final_ed0 = jnp.where(
+            ~gate_ok, 0, jnp.where(conv0_any, pen0, default_pen)
+        ).astype(jnp.int32)
+    else:
+        final_ed0 = jnp.where(conv0_any, pen0, default_pen).astype(jnp.int32)
 
     # ring buffers: row r holds energy level e with e % R == r
     end_hist = jnp.full((B, R, TL), UNREACHED, jnp.int32)
@@ -110,9 +197,10 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
         end_hist=end_hist,
         i_hist=i_hist,
         d_hist=d_hist,
+        stop=stop0,
         passed=passed0,
-        final_ed=jnp.where(passed0, 0, af + 1).astype(jnp.int32),
-        final_lane=jnp.where(passed0, lane0, mid).astype(jnp.int32),
+        final_ed=final_ed0,
+        final_lane=jnp.where(conv0_any, lane0, mid).astype(jnp.int32),
     )
     if want_history:
         start_hist = jnp.full((B, R, TL), UNREACHED, jnp.int32)
@@ -133,7 +221,7 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
         )
 
     def cond(s):
-        return (s["e"] <= af) & jnp.any(~s["passed"])
+        return (s["e"] <= af) & jnp.any(~s["stop"])
 
     def body(s):
         e = s["e"]
@@ -173,25 +261,62 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
         end_new = jnp.where(start_new >= 0, count_id(start_new), UNREACHED)
 
         conv = (end_new == buflen[:, None]) & (start_new >= 0) & interior[None, :]
-        if mode in (LeapMode.GLOBAL, LeapMode.SEMI_FREE_BEGIN):
+        if semantics == "simd_ed_lev":
+            # run_levenshtein breaks at the FIRST converged lane in ITS
+            # scan order (SIMD_ED.cpp:333-346) — the pair STOPS whether or
+            # not the converge correction passes it (SIMD_ED.cpp:349-352).
+            # SIMD_ED's lane axis is MIRRORED vs this kernel's (its lane
+            # i < mid shifts B — calculate_masks, SIMD_ED.cpp:194-201 —
+            # where build_leap_lanes' lane < mid shifts A), so its first
+            # scanned lane is our LAST: arg-last over conv.
+            stop_now = jnp.any(conv, axis=1)
+            lane_now = (
+                TL - 1 - jnp.argmax(jnp.flip(conv, axis=1), axis=1)
+            ).astype(jnp.int32)
+            if corrected:
+                onehot = lane_now[:, None] == lane_ids[None, :]
+                ld_first = jnp.sum(
+                    jnp.where(onehot, lane_diff[None, :], 0), axis=1
+                )
+                pen_now = e + ld_first  # converge_ED
+                pass_now = stop_now & (pen_now <= af)
+            else:
+                pen_now = jnp.full_like(lane_now, 0) + e
+                pass_now = stop_now
+        elif corrected:
             t = e + jnp.where(lane_diff == 0, 0, go + (lane_diff - 1) * ge)
             tt = jnp.where(conv & (t[None, :] <= af), t[None, :], BIG)
             tmin = jnp.min(tt, axis=1)
             pass_now = tmin < BIG
-            lane_now = jnp.argmin(tt, axis=1).astype(jnp.int32)
+            stop_now = pass_now
+            if semantics == "simd_ed_affine":
+                # strict `t < converge_ED` keeps the earliest lane in
+                # SIMD_ED's scan order on ties (SIMD_ED.cpp:596) — the
+                # LAST in this kernel's mirrored lane order (see above)
+                lane_now = (
+                    TL - 1 - jnp.argmin(jnp.flip(tt, axis=1), axis=1)
+                ).astype(jnp.int32)
+            else:
+                lane_now = jnp.argmin(tt, axis=1).astype(jnp.int32)
+            # LV_BAG reports the uncorrected energy (benchmark_utils.h:173);
+            # SIMD_ED::get_ED reports converge_ED (SIMD_ED.cpp:748-753)
+            pen_now = tmin if semantics == "simd_ed_affine" else (tmin * 0 + e)
         else:
             pass_now = jnp.any(conv, axis=1)
+            stop_now = pass_now
             # LV_BAG.cpp:233-237 overwrites per lane -> LAST converged wins
             rev = jnp.flip(conv, axis=1)
             lane_now = (TL - 1 - jnp.argmax(rev, axis=1)).astype(jnp.int32)
+            pen_now = jnp.full_like(lane_now, 0) + e
 
-        fresh = pass_now & ~s["passed"]
-        passed = s["passed"] | pass_now
-        final_ed = jnp.where(fresh, e, s["final_ed"])
+        fresh = stop_now & ~s["stop"]
+        stop = s["stop"] | stop_now
+        passed = s["passed"] | (pass_now & ~s["stop"])
+        final_ed = jnp.where(fresh, pen_now, s["final_ed"])
         final_lane = jnp.where(fresh, lane_now, s["final_lane"])
 
-        # freeze history rows of already-passed pairs (they stop evolving)
-        act = ~s["passed"]
+        # freeze history rows of already-stopped pairs (they stop evolving)
+        act = ~s["stop"]
         r = jnp.mod(e, R)
 
         def put(hist, new_row):
@@ -206,6 +331,7 @@ def leap_align(read_codes, read_len, ref_codes, ref_len, cfg: AlignConfig,
             end_hist=put(s["end_hist"], end_new),
             i_hist=put(s["i_hist"], i_new),
             d_hist=put(s["d_hist"], d_new),
+            stop=stop,
             passed=passed,
             final_ed=final_ed,
             final_lane=final_lane,

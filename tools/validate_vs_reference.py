@@ -135,6 +135,83 @@ int main(int argc, char** argv) {
 }
 """
 
+SIMD_ED_DRIVER_SRC = r"""
+// SIMD_ED conformance driver: mirrors LEAP_SIMD/main.cpp's batch flow
+// (convert all pairs with convert_reads, then load/calculate_masks/
+// reset/run per pair IN ORDER — SIMD_ED carries state across pairs) and
+// prints "pass ed cigar" per pair. argv: error use_levenshtein use_shd.
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <iostream>
+#include <string>
+#include <vector>
+#define private public
+#include "SIMD_ED.h"
+#undef private
+using namespace std;
+
+SIMD_ED ed_obj;  // global: zero-initialized members, like the emulator
+
+int main(int argc, char** argv) {
+    int error = argc > 1 ? atoi(argv[1]) : 3;
+    int use_lev = argc > 2 ? atoi(argv[2]) : 1;
+    int use_shd_a = argc > 3 ? atoi(argv[3]) : -1;
+    int info_len;
+    if (use_lev) {
+        bool tmp = (use_shd_a == -1 ? true : use_shd_a);
+        ed_obj.init_levenshtein(error, ED_GLOBAL, tmp);
+        info_len = error + 1;
+    } else {
+        bool tmp = (use_shd_a == -1 ? false : use_shd_a);
+        ed_obj.init_affine(error, error * 3, ED_GLOBAL, 2, 3, 1, tmp);
+        info_len = error * 3 + 1;
+    }
+    // ED_info is heap-uninitialized in the reference; zero it so the
+    // pre-first-write reads the CIGAR bug performs are deterministic
+    memset(ed_obj.ED_info, 0, sizeof(ED_INFO) * info_len);
+
+    vector<string> reads, refs;
+    string a, b;
+    while (getline(cin, a) && getline(cin, b)) {
+        reads.push_back(a);
+        refs.push_back(b);
+    }
+    int n = (int)reads.size();
+    vector<vector<uint8_t>> r0(n), r1(n), f0(n), f1(n);
+    vector<int> len(n);
+    for (int i = 0; i < n; i++) {
+        len[i] = (int)reads[i].size();
+        if (len[i] > 256) len[i] = 256;
+        // main.cpp's per-pair plane buffers are heap-uninitialized; zero
+        // them — only bits past the pair length differ, and every
+        // consumer masks those off
+        r0[i].assign(32, 0); r1[i].assign(32, 0);
+        f0[i].assign(32, 0); f1[i].assign(32, 0);
+        ed_obj.convert_reads((char*)reads[i].c_str(),
+                             (char*)refs[i].c_str(), len[i],
+                             r0[i].data(), r1[i].data(),
+                             f0[i].data(), f1[i].data());
+    }
+    for (int i = 0; i < n; i++) {
+        ed_obj.load_reads(r0[i].data(), r1[i].data(), f0[i].data(),
+                          f1[i].data(), len[i]);
+        ed_obj.calculate_masks();
+        ed_obj.reset();
+        ed_obj.run();
+        int pass = ed_obj.check_pass() ? 1 : 0;
+        int ed = ed_obj.get_ED();
+        string cig = "-";
+        if (pass) {
+            ed_obj.backtrack();
+            cig = ed_obj.get_CIGAR();
+        }
+        printf("%d %d %s\n", pass, ed, cig.c_str());
+    }
+    return 0;
+}
+"""
+
 # the reference includes boost/preprocessor only for BOOST_PP_DIV on
 # integer constants — shim it rather than requiring boost
 SHIM = "#pragma once\n#ifndef BOOST_PP_DIV\n#define BOOST_PP_DIV(a, b) ((a) / (b))\n#endif\n"
@@ -189,6 +266,127 @@ def build_shd_driver() -> str:
         check=True,
     )
     return driver
+
+
+def build_simd_ed_driver() -> str:
+    driver = os.path.join(BUILD, "simd_ed_driver")
+    if os.path.exists(driver):
+        return driver
+    os.makedirs(BUILD, exist_ok=True)
+    src = os.path.join(BUILD, "simd_ed_driver.cpp")
+    with open(src, "w") as fh:
+        fh.write(SIMD_ED_DRIVER_SRC)
+    leap = os.path.join(REF, "GASMA/benchmark/LEAP_SIMD")
+    subprocess.run(
+        ["g++", "-O2", "-msse4.2", "-mbmi", "-mavx2", "-DNDEBUG",
+         "-I", leap, src]
+        + [os.path.join(leap, f) for f in
+           ("SIMD_ED.cpp", "SHD.cpp", "shift.cpp", "popcount.cpp",
+            "mask.cpp", "bit_convert.cpp", "print.cpp")]
+        + ["-o", driver],
+        check=True,
+    )
+    return driver
+
+
+def validate_simd_ed() -> bool:
+    """Diff the stateful SimdEdRef emulator against the compiled SIMD_ED
+    kernel — per-pair pass / get_ED / CIGAR, pairs processed in order so
+    the reference's cross-pair state leaks are reproduced exactly."""
+    from asm_tpu.data.generator import generate_dataset
+    from asm_tpu.reference_impl.simd_ed_ref import SimdEdRef
+    from asm_tpu.config import LeapMode
+
+    driver = build_simd_ed_driver()
+    ok = True
+    cases = [
+        # (use_lev, use_shd, error, err_rate, mr, seed, n)
+        (1, -1, 3, 0.05, 0.96, 21, 300),   # main.cpp lev default (SHD on)
+        (1, 0, 3, 0.10, 0.96, 22, 300),    # lev, SHD off
+        (1, -1, 5, 0.15, 0.50, 23, 300),   # wider band, indel-heavy
+        (0, -1, 3, 0.05, 0.96, 24, 300),   # main.cpp affine default
+        (0, -1, 3, 0.10, 0.96, 25, 300),
+        (0, -1, 5, 0.20, 0.50, 26, 300),
+    ]
+    for use_lev, use_shd, k, err, mr, seed, n in cases:
+        reads, refs = generate_dataset(n, 100, err, mr, seed=seed)
+        inp = "".join(f"{a}\n{b}\n" for a, b in zip(reads, refs))
+        out = subprocess.run(
+            [driver, str(k), str(use_lev), str(use_shd)],
+            input=inp, capture_output=True, text=True,
+        ).stdout.strip().split("\n")
+        emu = SimdEdRef()
+        if use_lev:
+            emu.init_levenshtein(
+                k, LeapMode.GLOBAL, True if use_shd == -1 else bool(use_shd)
+            )
+        else:
+            emu.init_affine(k, 3 * k, LeapMode.GLOBAL, 2, 3, 1,
+                            False if use_shd == -1 else bool(use_shd))
+        mm = leaked = 0
+        for i, line in enumerate(out):
+            parts = line.split()
+            r = (int(parts[0]), int(parts[1]),
+                 parts[2] if parts[2] != "-" else None)
+            e = emu.run_pair(reads[i], refs[i])
+            leaked += e["leaked"]
+            if (int(e["passed"]), e["ed"], e["cigar"]) != r:
+                mm += 1
+        name = "lev" if use_lev else "affine"
+        print(f"SIMD_ED {name} k={k} shd={use_shd} err={err} mr={mr}: "
+              f"mism {mm}/{n} (state-leaked pairs: {leaked})")
+        if mm > 0:
+            ok = False
+
+    # ---- leap_filter app anchor: pass/total vs the compiled SIMD_ED ----
+    # (main.cpp defaults; the app's batched kernel is fresh-state, so
+    # leaked pairs may legitimately differ — they must be the ONLY diffs)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asm_tpu.apps.leap_filter import make_filter_step
+    from asm_tpu.config import AlignConfig
+    from asm_tpu.encoding import encode_batch
+
+    for use_lev in (1, 0):
+        k, err, n = 3, 0.05, 400
+        reads, refs = generate_dataset(n, 100, err, 0.96, seed=77)
+        inp = "".join(f"{a}\n{b}\n" for a, b in zip(reads, refs))
+        out = subprocess.run(
+            [driver, str(k), str(use_lev), "-1"],
+            input=inp, capture_output=True, text=True,
+        ).stdout.strip().split("\n")
+        ref_pass = np.array([int(line.split()[0]) for line in out], bool)
+
+        if use_lev:
+            cfg = AlignConfig(x=1, o=1, e=1, k=k, leap_af_threshold=k,
+                              leap_mode=LeapMode.GLOBAL, max_len=256)
+        else:
+            cfg = AlignConfig(x=2, o=3, e=1, k=k, leap_af_threshold=3 * k,
+                              leap_mode=LeapMode.GLOBAL, max_len=256)
+        step = make_filter_step(cfg, bool(use_lev), bool(use_lev))
+        got = np.asarray(step(*map(jnp.asarray,
+                                   encode_batch(reads, refs, 256))))
+
+        emu = SimdEdRef()
+        if use_lev:
+            emu.init_levenshtein(k, LeapMode.GLOBAL, True)
+        else:
+            emu.init_affine(k, 3 * k, LeapMode.GLOBAL, 2, 3, 1, False)
+        leaked = np.zeros(n, bool)
+        for i in range(n):
+            leaked[i] = emu.run_pair(reads[i], refs[i],
+                                     want_cigar=False)["leaked"]
+        diffs = got != ref_pass
+        bad = diffs & ~leaked
+        name = "lev" if use_lev else "affine"
+        print(f"leap_filter {name} defaults: passNum app={int(got.sum())} "
+              f"reference={int(ref_pass.sum())} / {n}; per-pair diffs "
+              f"{int(diffs.sum())} (all on state-leaked pairs: "
+              f"{not bad.any()})")
+        if bad.any():
+            ok = False
+    return ok
 
 
 def validate_shd() -> bool:
@@ -299,6 +497,8 @@ def main():
             ok = False
 
     if not validate_shd():
+        ok = False
+    if not validate_simd_ed():
         ok = False
     print("VALIDATION", "OK" if ok else "FAILED")
     sys.exit(0 if ok else 1)
