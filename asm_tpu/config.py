@@ -75,6 +75,13 @@ class AlignConfig:
          on rare extreme-error pairs the integer COST can shift by a few
          units too (measured 0/512 pairs at err<=0.10, 18/512 at the
          pathological err=0.4 indel-heavy corpus, usually cheaper).
+      leap_max_energy: static bound on the PASSED energy, used to size the
+         fused LEAP CIGAR kernel's backtrack history and edit records
+         (leap_align_pallas(want_cigar=True)); defaults to
+         min(leap_af_threshold, 48). Pairs may PASS at energies up to
+         leap_af_threshold regardless — the caller asserts the bound was
+         not exceeded from the returned penalties (like the greedy
+         steps_bound truncation assert).
       max_steps: static bound on greedy while-loop trip count (a highway
          step always advances >= 1 column, so max_len is always safe).
       max_cigar_ops: fixed CIGAR buffer length (2 ops per greedy step).
@@ -93,6 +100,7 @@ class AlignConfig:
     leap_mode: LeapMode = LeapMode.GLOBAL
     flip_threshold: int = 1
     exact_floats: bool = False
+    leap_max_energy: int | None = None
     max_steps: int | None = None
     max_cigar_ops: int | None = None
 
@@ -109,6 +117,12 @@ class AlignConfig:
     @property
     def steps_bound(self) -> int:
         return self.max_steps if self.max_steps is not None else self.max_len
+
+    @property
+    def leap_energy_bound(self) -> int:
+        if self.leap_max_energy is not None:
+            return self.leap_max_energy
+        return min(self.leap_af_threshold, 48)
 
     @property
     def cigar_ops_bound(self) -> int:

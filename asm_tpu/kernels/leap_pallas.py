@@ -1,9 +1,14 @@
 """Fused Pallas TPU kernel for LEAP / Landau-Vishkin banded alignment.
 
-Same semantics as asm_tpu.kernels.leap.leap_align (the portable XLA path,
-which also remains the only path for want_history/backtracking); this
-kernel fuses hurdle-lane construction, bit-packing, and the energy
-wavefront into one VMEM-resident pass.
+Same semantics as asm_tpu.kernels.leap.leap_align (the portable XLA
+reference path); this kernel fuses hurdle-lane construction, bit-packing,
+and the energy wavefront into one VMEM-resident pass. want_cigar=True
+additionally fuses the BACKTRACK (LV::backtrack, LV_BAG.cpp:250-354): the
+energy history is parked in VMEM as byte-packed cells and replayed by a
+downward per-level sweep emitting packed edit records — bit-equal to
+leap_align(want_history=True) + leap_backtrack_batch (decode with
+leap_cigar_decode), at fused-kernel throughput instead of the XLA history
+path's full-table materialization.
 
 Layout mirrors greedy_pallas: pair-per-lane [_TILE/128, 128] tiles per
 grid step, TL = 2k+3 diagonal lanes unrolled statically, lane rows as
@@ -36,9 +41,14 @@ def _ctz32(w):
     return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
 
 
-def _leap_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
-                 fl_ref, passed_ref, pen_ref, lane_ref_out, hist_ref,
-                 st_ref):
+def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
+    if want_cigar:
+        (rc_ref, fc_ref, rl_ref, fl_ref, passed_ref, pen_ref, lane_ref_out,
+         rec_ref, hist_ref, st_ref, bt_ref) = refs
+    else:
+        (rc_ref, fc_ref, rl_ref, fl_ref, passed_ref, pen_ref, lane_ref_out,
+         hist_ref, st_ref) = refs
+        rec_ref = bt_ref = None
     k = cfg.k
     TL = cfg.leap_total_lanes
     mid = k + 1
@@ -48,6 +58,16 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
     af = cfg.leap_af_threshold
     mode = cfg.leap_mode
     R = max(go, ge, ms) + 1
+    E = cfg.leap_energy_bound
+
+    def pack4(s, e_, i, d):
+        """One uint32 byte-packs a (start, end, I_pos, D_pos) cell, each
+        biased by +2 (values live in [-2, L]; want_cigar asserts L <= 253).
+        The backtrack walk re-reads cells at dynamic scalar energies — a
+        single packed plane keeps the full [E+1, TL] history at 1/4 the
+        VMEM of four int32 planes."""
+        u = lambda v: (v + 2).astype(jnp.uint32)
+        return (u(s) | (u(e_) << 8) | (u(i) << 16) | (u(d) << 24))
 
     m = jnp.minimum(rl_ref[...], L)
     n = jnp.minimum(fl_ref[...], L)
@@ -167,6 +187,8 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
         hist_ref[0, 0, l] = end0
         hist_ref[1, 0, l] = unreached
         hist_ref[2, 0, l] = unreached
+        if want_cigar:
+            bt_ref[l] = pack4(start0, end0, unreached, unreached)
 
     # st_ref rows: 0 passed, 1 final_ed, 2 final_lane
     conv_any = zero
@@ -204,13 +226,14 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
         d_ge = [hist_ref[2, r_ge, l] for l in range(TL)]
         end_ms = [hist_ref[0, r_ms, l] for l in range(TL)]
 
-        new_end, new_i, new_d = [], [], []
+        new_end, new_i, new_d, new_start = [], [], [], []
         conv = []
         for l in range(TL):
             if l == 0 or l == TL - 1:
                 new_end.append(unreached)
                 new_i.append(unreached)
                 new_d.append(unreached)
+                new_start.append(unreached)
                 conv.append(zero != 0)
                 continue
             top = 1 if l >= mid else 0
@@ -238,6 +261,7 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
             new_end.append(end_new)
             new_i.append(i_new)
             new_d.append(d_new)
+            new_start.append(start_new)
             conv.append((end_new == buflen) & (start_new >= 0))
 
         if mode in (LeapMode.GLOBAL, LeapMode.SEMI_FREE_BEGIN):
@@ -272,6 +296,16 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
             hist_ref[0, r, l] = jnp.where(act, new_end[l], old_e)
             hist_ref[1, r, l] = jnp.where(act, new_i[l], old_i)
             hist_ref[2, r, l] = jnp.where(act, new_d[l], old_d)
+        if want_cigar:
+            # park this energy row for the backtrack walk (rows past a
+            # pair's own final energy hold junk and are never read)
+            @pl.when(e <= E)
+            def _():
+                base = e * TL
+                for l in range(TL):
+                    bt_ref[pl.ds(base + l, 1)] = pack4(
+                        new_start[l], new_end[l], new_i[l], new_d[l]
+                    )[None]
         return e + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(1))
@@ -280,15 +314,123 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
     pen_ref[...] = st_ref[1]
     lane_ref_out[...] = st_ref[2] - mid
 
+    if not want_cigar:
+        return
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "pre_staged"))
+    # ---- fused backtrack (LV::backtrack, LV_BAG.cpp:250-354) -----------
+    # Flattened form of leap_backtrack_one: every emitted edit lowers the
+    # energy by >= 1, so each pair acts at most once per energy level and
+    # the walk is a downward sweep over OCCUPIED levels only (ev = current
+    # per-tile max of the per-pair cursor). A chain-mode flag replaces the
+    # reference's inner extension while-loops: 0 = fresh arrival (outer
+    # loop), 1 = inside an insertion chain, 2 = inside a deletion chain.
+    # rec_ref row ev (int32) holds that level's edit per pair:
+    # op in bits 0-1 (0 none, 1 M, 2 I, 3 D), is_open bit 2, match-run
+    # bits 3+; row 0 holds the terminal match run (no edit ends at e=0).
+    rec_ref[...] = jnp.zeros((E + 1,) + shape, jnp.int32)
+    passed_v = st_ref[0] != 0
+    st_ref[3] = jnp.where(passed_v, st_ref[1], 0)  # cur_e (0 = done)
+    st_ref[4] = st_ref[2]                          # cur_lane (lane index)
+    st_ref[5] = zero                               # mode = OUTER
+
+    def sel_lane(rows, lane_vec):
+        out = rows[0]
+        for l in range(1, TL):
+            out = jnp.where(lane_vec == l, rows[l], out)
+        return out
+
+    def unpack(w, byte):
+        return ((w >> jnp.uint32(8 * byte)) & jnp.uint32(0xFF)).astype(
+            jnp.int32
+        ) - 2
+
+    def wcond(it):
+        # every emitted edit lowers the acting pairs' cursor by >= 1, so
+        # E sweeps always suffice; the `it` bound is a belt-and-braces
+        # guard against junk history (pairs passing above energy E)
+        return (it <= E) & (jnp.max(st_ref[3]) > 0)
+
+    def wbody(it):
+        cur_e = st_ref[3]
+        cur_lane = st_ref[4]
+        cmode = st_ref[5]
+        ev = jnp.max(cur_e)
+        act = cur_e == ev  # ev > 0, so act excludes finished pairs
+
+        row = [bt_ref[pl.ds(ev * TL + l, 1)][0] for l in range(TL)]
+        evg = jnp.maximum(ev - ge, 0)
+        row_g = [bt_ref[pl.ds(evg * TL + l, 1)][0] for l in range(TL)]
+        ok_ge = ev - ge >= 0  # scalar
+
+        w_cur = sel_lane(row, cur_lane)
+        s_cur = unpack(w_cur, 0)
+        e_cur = unpack(w_cur, 1)
+        i_cur = unpack(w_cur, 2)
+        d_cur = unpack(w_cur, 3)
+        # neighbour chain cells at energy ev-ge; out-of-range lane
+        # selectors fall back to row 0 — a border lane, always UNREACHED
+        i_prev = unpack(sel_lane(row_g, cur_lane - 1), 2)
+        d_prev = unpack(sel_lane(row_g, cur_lane + 1), 3)
+
+        fresh = cmode == 0
+        run = jnp.where(fresh, e_cur - s_cur, 0)
+        is_i = jnp.where(fresh, s_cur == i_cur, cmode == 1)
+        is_d = jnp.where(fresh, (s_cur != i_cur) & (s_cur == d_cur),
+                         cmode == 2)
+        top = (cur_lane >= mid).astype(jnp.int32)
+        bot = (cur_lane <= mid).astype(jnp.int32)
+        ext_i = ok_ge & (i_prev != UNREACHED) & (i_prev + top == i_cur)
+        ext_d = ok_ge & (d_prev != UNREACHED) & (d_prev + bot == d_cur)
+
+        op = jnp.where(is_i, 2, jnp.where(is_d, 3, 1))
+        is_open = jnp.where(is_i, ~ext_i, jnp.where(is_d, ~ext_d,
+                                                    zero != 0))
+        packed = jnp.where(
+            act, op | (is_open.astype(jnp.int32) << 2) | (run << 3), 0
+        )
+        rec_ref[pl.ds(ev, 1)] = packed[None]
+
+        d_lane = jnp.where(is_i, -1, jnp.where(is_d, 1, 0))
+        de = jnp.where(
+            is_i, jnp.where(ext_i, ge, go),
+            jnp.where(is_d, jnp.where(ext_d, ge, go), ms),
+        )
+        new_mode = jnp.where(is_i & ext_i, 1, jnp.where(is_d & ext_d, 2, 0))
+        st_ref[3] = jnp.where(act, jnp.maximum(ev - de, 0), cur_e)
+        st_ref[4] = jnp.where(act, cur_lane + d_lane, cur_lane)
+        st_ref[5] = jnp.where(act, new_mode, cmode)
+        return it + 1
+
+    jax.lax.while_loop(wcond, wbody, jnp.int32(0))
+
+    # terminal match run at energy 0 on the walk's final lane
+    # (leap_backtrack_one's trailing ('', end-start) entry)
+    row0 = [bt_ref[l] for l in range(TL)]
+    w0 = sel_lane(row0, st_ref[4])
+    term = unpack(w0, 1) - unpack(w0, 0)
+    rec_ref[0] = jnp.where(passed_v, term, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "pre_staged", "want_cigar")
+)
 def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
                       cfg: AlignConfig, interpret: bool = False,
-                      pre_staged: bool = False):
+                      pre_staged: bool = False, want_cigar: bool = False):
     """Drop-in replacement for leap_align (passed / penalty / lane_shift).
 
-    History/backtracking mode is NOT supported here — use the XLA path
-    (leap_align(..., want_history=True)) for CIGARs.
+    want_cigar=True additionally runs the BACKTRACK inside the kernel
+    (the fused equivalent of leap_align(want_history=True) +
+    leap_backtrack, mirroring LV::backtrack LV_BAG.cpp:250-354): the full
+    energy history is parked in VMEM as byte-packed (start, end, I_pos,
+    D_pos) cells and replayed by a downward per-energy-level sweep,
+    emitting one packed edit record per (energy, pair) into `edit_rec`
+    int32[E+1, B] (E = cfg.leap_energy_bound; row 0 = terminal match
+    run). Decode with `leap_cigar_decode` — bit-equal to
+    leap_backtrack_batch. Pairs must pass within energy E: assert via
+    `(penalty * passed).max() <= E` (the kernel cannot, mirroring the
+    greedy steps_bound contract). Requires max_len <= 224 (cell values
+    byte-packed with a +2 bias).
 
     pre_staged=True (or "swar"): codes are position-major SWAR words
     uint32[L//4, B] from greedy_pallas.stage_swar_t. pre_staged="planes":
@@ -302,6 +444,9 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     assert L % 32 == 0
     TL = cfg.leap_total_lanes
     R = max(cfg.o, cfg.e, cfg.x) + 1
+    E = cfg.leap_energy_bound
+    if want_cigar:
+        assert L <= 253, "want_cigar byte-packs positions; max_len <= 224"
     planes = pre_staged == "planes"
 
     if pre_staged:
@@ -345,8 +490,29 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
     code_rows = L // 16 if planes else L // 4
-    kernel = functools.partial(_leap_kernel, cfg, planes)
-    passed, pen, shift = pl.pallas_call(
+    kernel = functools.partial(_leap_kernel, cfg, planes, want_cigar)
+    vec_spec = pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [vec_spec, vec_spec, vec_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+        jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+        jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((3, R, TL, _SUB, 128), jnp.int32),  # hist_ref
+        pltpu.VMEM((6 if want_cigar else 3, _SUB, 128), jnp.int32),  # st_ref
+    ]
+    if want_cigar:
+        out_specs.append(
+            pl.BlockSpec((E + 1, _SUB, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((E + 1, NB, 128), jnp.int32))
+        scratch.append(
+            pltpu.VMEM(((E + 1) * TL, _SUB, 128), jnp.uint32)  # bt_ref
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(NB // _SUB,),
         in_specs=[
@@ -354,33 +520,58 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((code_rows, _SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            vec_spec,
+            vec_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
-            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
-            jax.ShapeDtypeStruct((NB, 128), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((3, R, TL, _SUB, 128), jnp.int32),  # hist_ref
-            pltpu.VMEM((3, _SUB, 128), jnp.int32),      # st_ref
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(rc_t, fc_t, rl_t, fl_t)
 
-    return dict(
+    passed, pen, shift = outs[:3]
+    out = dict(
         passed=passed.reshape(BP)[:B] != 0,
         penalty=pen.reshape(BP)[:B],
         lane_shift=shift.reshape(BP)[:B],
     )
+    if want_cigar:
+        out["edit_rec"] = outs[3].reshape(E + 1, BP)[:, :B]
+    return out
+
+
+def leap_cigar_decode(result: dict, cfg: AlignConfig):
+    """Decode leap_align_pallas(want_cigar=True) edit records into the
+    leap_backtrack_batch format: per pair, (edits, cigar) with edits =
+    [(op, id_length, is_open), ...] in backtrack order ending with the
+    terminal ('', run, False) entry, or None for pairs that did not pass.
+    GLOBAL/SEMI_FREE_BEGIN lane-correction gaps (LV_BAG.cpp:254-264) are
+    prepended closed-form from lane_shift."""
+    import numpy as np
+
+    from asm_tpu.kernels.leap_backtrack import edits_to_cigar
+
+    rec = np.asarray(result["edit_rec"])  # [E+1, B]
+    passed = np.asarray(result["passed"])
+    shift = np.asarray(result["lane_shift"])
+    E1, B = rec.shape
+    opchar = {1: "M", 2: "I", 3: "D"}
+    corrected = cfg.leap_mode in (LeapMode.GLOBAL, LeapMode.SEMI_FREE_BEGIN)
+    out = []
+    for b in range(B):
+        if not passed[b]:
+            out.append(None)
+            continue
+        edits = []
+        if corrected:
+            d = abs(int(shift[b]))
+            gap = "D" if shift[b] > 0 else "I"
+            for i in range(d):
+                edits.append((gap, 0, i == d - 1))
+        for ev in range(E1 - 1, 0, -1):
+            w = int(rec[ev, b])
+            if w & 3:
+                edits.append((opchar[w & 3], w >> 3, bool(w & 4)))
+        edits.append(("", int(rec[0, b]), False))
+        out.append((edits, edits_to_cigar(edits)))
+    return out
