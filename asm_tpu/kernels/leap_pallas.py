@@ -372,19 +372,21 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
         i_prev = unpack(sel_lane(row_g, cur_lane - 1), 2)
         d_prev = unpack(sel_lane(row_g, cur_lane + 1), 3)
 
+        # bool-valued jnp.where dies in Mosaic ("unsupported target
+        # bitwidth for truncation") — combine booleans with logical ops
         fresh = cmode == 0
         run = jnp.where(fresh, e_cur - s_cur, 0)
-        is_i = jnp.where(fresh, s_cur == i_cur, cmode == 1)
-        is_d = jnp.where(fresh, (s_cur != i_cur) & (s_cur == d_cur),
-                         cmode == 2)
+        is_i = (fresh & (s_cur == i_cur)) | (~fresh & (cmode == 1))
+        is_d = (fresh & (s_cur != i_cur) & (s_cur == d_cur)) | (
+            ~fresh & (cmode == 2)
+        )
         top = (cur_lane >= mid).astype(jnp.int32)
         bot = (cur_lane <= mid).astype(jnp.int32)
         ext_i = ok_ge & (i_prev != UNREACHED) & (i_prev + top == i_cur)
         ext_d = ok_ge & (d_prev != UNREACHED) & (d_prev + bot == d_cur)
 
         op = jnp.where(is_i, 2, jnp.where(is_d, 3, 1))
-        is_open = jnp.where(is_i, ~ext_i, jnp.where(is_d, ~ext_d,
-                                                    zero != 0))
+        is_open = (is_i & ~ext_i) | (is_d & ~ext_d)
         packed = jnp.where(
             act, op | (is_open.astype(jnp.int32) << 2) | (run << 3), 0
         )

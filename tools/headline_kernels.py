@@ -26,8 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from asm_tpu.config import AlignConfig
 from asm_tpu.utils.corpus_cache import load_corpus
 
-# reference single-core numbers (BASELINE.md)
-BASE = {"leap": 0.65e6, "nw": 27.6e3}
+# reference single-core numbers (BASELINE.md); leap_cigar measures the
+# CIGAR-producing path against the same LEAP baseline (the reference's
+# timed loop never skips backtrack state upkeep)
+BASE = {"leap": 0.65e6, "leap_cigar": 0.65e6, "nw": 27.6e3}
 
 
 def main():
@@ -37,7 +39,7 @@ def main():
     n_pairs = int(os.environ.get("HK_PAIRS", 1 << 23))
     chunk = int(os.environ.get("HK_CHUNK", n_pairs))
     reps = int(os.environ.get("HK_REPS", 3))
-    which = sys.argv[1:] or ["leap", "nw"]
+    which = sys.argv[1:] or ["leap", "leap_cigar", "nw"]
 
     cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128)
     cache = os.path.join(repo, "bench_cache", f"corpus_{n_pairs}_0.05.npz")
@@ -78,7 +80,7 @@ def main():
             "vs_baseline": round(aps / BASE[name], 3),
         }))
 
-    if "leap" in which:
+    if "leap" in which or "leap_cigar" in which:
         from asm_tpu.kernels.greedy_pallas import stage_planes_t
         from asm_tpu.kernels.leap_pallas import leap_align_pallas
 
@@ -86,14 +88,6 @@ def main():
         rc_t, fc_t = stage_planes_t(rc), stage_planes_t(fc)
         print(f"leap staging: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
-        base = jax.jit(functools.partial(leap_align_pallas, cfg=cfg,
-                                         pre_staged="planes"))
-
-        @jax.jit
-        def step(a, b, c, d):
-            out = base(a, b, c, d)
-            return out, jnp.sum(out["penalty"])
-
         chunks = [
             (jax.device_put(np.ascontiguousarray(rc_t[:, i:i + chunk])),
              jax.device_put(rl[i:i + chunk]),
@@ -101,21 +95,75 @@ def main():
              jax.device_put(fl[i:i + chunk]))
             for i in range(0, n_pairs, chunk)
         ]
-        run("leap", step, chunks, 1)
+
+        if "leap" in which:
+            base = jax.jit(functools.partial(leap_align_pallas, cfg=cfg,
+                                             pre_staged="planes"))
+
+            @jax.jit
+            def step(a, b, c, d):
+                out = base(a, b, c, d)
+                return out, jnp.sum(out["penalty"])
+
+            run("leap", step, chunks, 1)
+
+        if "leap_cigar" in which:
+            # CIGAR-producing path: the fused in-kernel backtrack emits
+            # packed edit records (decoded host-side by leap_cigar_decode);
+            # records stay jit-internal like bench.py's greedy step
+            # records — the kernel writes them either way
+            E = int(os.environ.get("HK_LEAP_E", 40))
+            ccfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128,
+                               leap_max_energy=E)
+            cbase = jax.jit(functools.partial(
+                leap_align_pallas, cfg=ccfg, pre_staged="planes",
+                want_cigar=True))
+
+            @jax.jit
+            def cstep(a, b, c, d):
+                out = cbase(a, b, c, d)
+                pen = out["penalty"]
+                ps = out["passed"]
+                # fold the truncation proof into the same dispatch
+                maxp = jnp.max(jnp.where(ps, pen, 0))
+                # do NOT retain edit_rec: as a jit-internal temp the
+                # ~4-5 GB/chunk record buffer lives only while its chunk
+                # executes (the kernel writes it either way); retaining
+                # it OOMs two queued 33.6M chunks
+                return (pen, ps), jnp.sum(pen) + 0 * maxp, maxp
+
+            run("leap_cigar", cstep, chunks, 1)
+            maxp = max(int(np.asarray(cstep(*c)[2])) for c in chunks)
+            print(f"leap_cigar max passed energy: {maxp} (bound {E})",
+                  file=sys.stderr)
+            assert maxp <= E, "leap_max_energy bound too tight for corpus"
         del chunks
 
     if "nw" in which:
+        from asm_tpu.kernels.greedy_pallas import stage_planes_t
         from asm_tpu.kernels.nw_band import nw_penalty_auto
+
+        # the cascade consumes the shared pre-staged 2-bit-plane corpus
+        # (64 B/pair on device instead of 256 B of codes + transposed
+        # copies), which is what lifts the old 2M-pair chunk cap
+        nw_chunk = int(os.environ.get("HK_NW_CHUNK", chunk))
+        t0 = time.perf_counter()
+        rc_t, fc_t = stage_planes_t(rc), stage_planes_t(fc)
+        print(f"nw staging: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
 
         @jax.jit
         def step(a, b, c, d):
-            p = nw_penalty_auto(a, b, c, d, x=cfg.x, o=cfg.o, e=cfg.e)
+            p = nw_penalty_auto(a, b, c, d, x=cfg.x, o=cfg.o, e=cfg.e,
+                                pre_staged=True)
             return p, jnp.sum(p)
 
         chunks = [
-            (jax.device_put(rc[i:i + chunk]), jax.device_put(rl[i:i + chunk]),
-             jax.device_put(fc[i:i + chunk]), jax.device_put(fl[i:i + chunk]))
-            for i in range(0, n_pairs, chunk)
+            (jax.device_put(np.ascontiguousarray(rc_t[:, i:i + nw_chunk])),
+             jax.device_put(rl[i:i + nw_chunk]),
+             jax.device_put(np.ascontiguousarray(fc_t[:, i:i + nw_chunk])),
+             jax.device_put(fl[i:i + nw_chunk]))
+            for i in range(0, n_pairs, nw_chunk)
         ]
         run("nw", step, chunks, 1)
 
