@@ -110,11 +110,12 @@ def _spread2(v):
     return jnp.stack([a, b], axis=1).reshape(2 * W, B)
 
 
-def _mismatch_tiles(read_codes, ref_codes, bw):
+def _mismatch_tiles(planes, bw):
     """Packed mismatch planes, tile-blocked for the kernel: plane
     [t * 2W + (d-1)//32, r, lane] bit (d-1)%32 = (read[i-1] != ref[j-1])
     at band lane u = lane % bw of diagonal d, for the pair at tile t,
-    row r, slot pi = lane // bw.
+    row r, slot pi = lane // bw. `planes` = (rlo, rhi, flo, fhi) word-major
+    uint32[W, B] bit-planes (pack_planes_t layout / stage_planes_t rows).
 
     For offset k = u - KB (KB = bw//2 - 1) and diagonal d (valid parity),
     i = (d+k)/2 and NEQ_k[i-1] = read[i-1] != ref[i-1-k]; with
@@ -137,20 +138,17 @@ def _mismatch_tiles(read_codes, ref_codes, bw):
 
     Returns int32 [nt * 2W, _ROWS, 128].
     """
-    from asm_tpu.encoding import pack_planes_t
-
     kb = bw // 2 - 1
     p = 128 // bw
-    B, L = read_codes.shape
+    rlo, rhi, flo, fhi = planes
+    W, B = rlo.shape
+    L = 32 * W
     w2 = 2 * L // 32
     nt = B // (_ROWS * p)
     ntc = min(_PREP_TILES, nt)
     while nt % ntc:  # wrapper pads B so nt is a multiple of _PREP_TILES
         ntc -= 1
     bpc = ntc * _ROWS * p
-
-    rlo, rhi, _ = pack_planes_t(read_codes)  # [W, B] uint32
-    flo, fhi, _ = pack_planes_t(ref_codes)
 
     def chunk(planes):
         rlo, rhi, flo, fhi = planes
@@ -245,20 +243,35 @@ def _nw_band_kernel(bw, x, o, e, mis_ref, mn_ref, dk_ref, pi_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bw", "x", "o", "e", "interpret")
+    jax.jit, static_argnames=("bw", "x", "o", "e", "interpret",
+                              "pre_staged")
 )
 def nw_penalty_banded(read_codes, read_len, ref_codes, ref_len,
-                      bw=32, x=1, o=1, e=1, interpret: bool = False):
+                      bw=32, x=1, o=1, e=1, interpret: bool = False,
+                      pre_staged: bool = False):
     """Banded global-alignment penalty; int32[B], INF where the band
     cannot certify (destination off-band or never reached).
 
     The result equals nw_penalty wherever it is < o + (bw//2 - 1) * e
     (the certificate `band_certified` checks); elsewhere it is an upper
     bound. Use nw_penalty_auto for the exact cascaded dispatcher.
+
+    pre_staged=True: read_codes/ref_codes are position-major 2-bit planes
+    uint32[L//16, B] (stage_planes_t — the shared production corpus
+    layout): skips the on-device transpose + plane pack entirely, and the
+    only per-pair device inputs are 64 B of planes instead of 256 B of
+    codes plus their transposed copies. Sentinel bits are not needed: the
+    mismatch-plane consumer treats out-of-length cells as don't-care (see
+    _mismatch_tiles).
     """
-    B, L = read_codes.shape
     p = 128 // bw  # pairs per row
     tile_pairs = _ROWS * p
+    if pre_staged:
+        W2, B = read_codes.shape
+        L = 16 * W2
+        assert read_codes.dtype == jnp.uint32
+    else:
+        B, L = read_codes.shape
     # pad to whole tiles; at >= _PREP_TILES tiles, to whole prep chunks
     # (so the lax.map in _mismatch_tiles gets equal chunks, <=6% waste)
     quantum = tile_pairs * (
@@ -267,22 +280,36 @@ def nw_penalty_banded(read_codes, read_len, ref_codes, ref_len,
     pad = (-B) % quantum
     BP = B + pad
     if pad:
-        zc = jnp.zeros((pad, L), read_codes.dtype)
         zl = jnp.zeros((pad,), jnp.int32)
-        read_codes = jnp.concatenate([read_codes, zc])
-        ref_codes = jnp.concatenate([ref_codes, zc])
+        if pre_staged:
+            zc = jnp.zeros((W2, pad), jnp.uint32)
+            read_codes = jnp.concatenate([read_codes, zc], axis=1)
+            ref_codes = jnp.concatenate([ref_codes, zc], axis=1)
+        else:
+            zc = jnp.zeros((pad, L), read_codes.dtype)
+            read_codes = jnp.concatenate([read_codes, zc])
+            ref_codes = jnp.concatenate([ref_codes, zc])
         read_len = jnp.concatenate([read_len.astype(jnp.int32), zl])
         ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zl])
     nt = BP // tile_pairs
 
-    rc = read_codes.astype(jnp.int32)
-    fc = ref_codes.astype(jnp.int32)
     m = jnp.minimum(read_len.astype(jnp.int32), L)
     n = jnp.minimum(ref_len.astype(jnp.int32), L)
     mn = m + n
 
+    if pre_staged:
+        W = L // 32
+        planes = (read_codes[:W], read_codes[W:],
+                  ref_codes[:W], ref_codes[W:])
+    else:
+        from asm_tpu.encoding import pack_planes_t
+
+        rlo, rhi, _ = pack_planes_t(read_codes)  # [W, B] uint32
+        flo, fhi, _ = pack_planes_t(ref_codes)
+        planes = (rlo, rhi, flo, fhi)
+
     nw_ = 2 * L // 32  # packed word planes per pair
-    mis = _mismatch_tiles(rc, fc, bw)  # [nt * 2W, _ROWS, 128] int32
+    mis = _mismatch_tiles(planes, bw)  # [nt * 2W, _ROWS, 128] int32
 
     def dilate(v):
         """[BP] per-pair values -> [nt*_ROWS, 128] lane planes."""
@@ -324,12 +351,65 @@ def band_certified(pen, bw, o=1, e=1):
     return pen < o + (bw // 2 - 1) * e
 
 
+def _codes_from_planes(planes2, lens):
+    """Cold-path inverse of stage_planes_t: uint32[L//16, B] planes ->
+    int8 codes [B, L], with sentinel PAD codes re-imposed past `lens`
+    (plane staging drops sentinel high bits; the full wavefront kernel
+    compares raw codes, so padding must mismatch deterministically)."""
+    from asm_tpu.encoding import PAD_READ
+
+    W2, B = planes2.shape
+    W = W2 // 2
+    L = 32 * W
+    sh = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    b0 = (planes2[:W, None, :] >> sh) & 1
+    b1 = (planes2[W:, None, :] >> sh) & 1
+    codes = (b0 | (b1 << 1)).reshape(L, B).T.astype(jnp.int8)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return jnp.where(pos < lens.astype(jnp.int32)[:, None], codes,
+                     jnp.int8(PAD_READ))
+
+
+def _map_subbatches(fn, read_codes, read_len, ref_codes, ref_len,
+                    fb: int, pre_staged: bool):
+    """Run `fn(rc, rl, fc, fl) -> pen[b]` over fixed sub-batches with
+    jax.lax.map. XLA sizes a program's HBM temp arena over COLD lax.cond
+    branches too, so the cascade's rarely-taken stages must bound their
+    temporaries this way or multi-million-pair chunks OOM before a single
+    byte of theirs is ever touched."""
+    B = read_len.shape[0]
+    FB = min(fb, B)
+    padf = (-B) % FB
+
+    def padded(a, axis):
+        if not padf:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, padf)
+        return jnp.pad(a, widths)
+
+    BF = B + padf
+    nc = BF // FB
+    rl_c = padded(read_len.astype(jnp.int32), 0).reshape(nc, FB)
+    fl_c = padded(ref_len.astype(jnp.int32), 0).reshape(nc, FB)
+    if pre_staged:
+        W2 = read_codes.shape[0]
+        rc_c = padded(read_codes, 1).reshape(W2, nc, FB).transpose(1, 0, 2)
+        fc_c = padded(ref_codes, 1).reshape(W2, nc, FB).transpose(1, 0, 2)
+    else:
+        rc_c = padded(read_codes, 0).reshape(nc, FB, -1)
+        fc_c = padded(ref_codes, 0).reshape(nc, FB, -1)
+    pen = jax.lax.map(lambda a: fn(*a), (rc_c, rl_c, fc_c, fl_c))
+    return pen.reshape(BF)[:B]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("x", "o", "e", "use_pallas", "interpret")
+    jax.jit, static_argnames=("x", "o", "e", "use_pallas", "interpret",
+                              "pre_staged")
 )
 def nw_penalty_auto(read_codes, read_len, ref_codes, ref_len,
                     x=1, o=1, e=1, use_pallas=True,
-                    interpret: bool = False):
+                    interpret: bool = False, pre_staged: bool = False):
     """Exact NW penalty via the banded cascade (bit-equal to nw_penalty).
 
     Fully jittable and device-resident: runs BW=32 on everything (4
@@ -348,21 +428,35 @@ def nw_penalty_auto(read_codes, read_len, ref_codes, ref_len,
     """
     args = (read_codes, read_len, ref_codes, ref_len)
     p32 = nw_penalty_banded(*args, bw=32, x=x, o=o, e=e,
-                            interpret=interpret)
+                            interpret=interpret, pre_staged=pre_staged)
     c32 = band_certified(p32, 32, o, e)
 
     def stage64(_):
-        p64 = nw_penalty_banded(*args, bw=64, x=x, o=o, e=e,
-                                interpret=interpret)
+        # sub-batched (see _map_subbatches): this branch is cold on the
+        # benchmark-typical corpus, but its BW=64 mismatch planes would
+        # otherwise reserve 2 KB/pair of HBM temp arena regardless
+        p64 = _map_subbatches(
+            lambda rcc, rlc, fcc, flc: nw_penalty_banded(
+                rcc, rlc, fcc, flc, bw=64, x=x, o=o, e=e,
+                interpret=interpret, pre_staged=pre_staged),
+            *args, fb=1 << 20, pre_staged=pre_staged,
+        )
         c64 = band_certified(p64, 64, o, e)
         m64 = jnp.where(c32, p32, p64)
 
         def stage_full(_):
-            if use_pallas:
-                pf = nw_penalty_pallas(*args, x=x, o=o, e=e,
-                                       interpret=interpret)
-            else:
-                pf = nw_penalty(*args, x=x, o=o, e=e)
+            def one(rcc, rlc, fcc, flc):
+                if pre_staged:  # unpack planes back to codes per chunk
+                    rcc = _codes_from_planes(rcc, rlc)
+                    fcc = _codes_from_planes(fcc, flc)
+                if use_pallas:
+                    return nw_penalty_pallas(rcc, rlc, fcc, flc,
+                                             x=x, o=o, e=e,
+                                             interpret=interpret)
+                return nw_penalty(rcc, rlc, fcc, flc, x=x, o=o, e=e)
+
+            pf = _map_subbatches(one, *args, fb=1 << 18,
+                                 pre_staged=pre_staged)
             return jnp.where(c32 | c64, m64, pf)
 
         return jax.lax.cond(jnp.all(c64), lambda _: m64, stage_full, 0)

@@ -43,3 +43,21 @@ def test_auto_nonunit_penalties_and_edges():
         )
         auto = nw_penalty_auto(*c, x=x, o=o, e=e, interpret=True)
         np.testing.assert_array_equal(auto, ref, err_msg=f"{x},{o},{e}")
+
+
+@pytest.mark.parametrize("err,mr", [(0.05, 0.96), (0.4, 0.5)])
+def test_auto_pre_staged_planes_bit_equal(err, mr):
+    """The production corpus layout (stage_planes_t 2-bit planes) through
+    the cascade — including the cold full-kernel branch, whose codes are
+    reconstructed from planes (err=0.4 exercises it) — equals both the
+    codes path and the exact oracle bit for bit."""
+    from asm_tpu.kernels.greedy_pallas import stage_planes_t
+
+    rc, rl, fc, fl = generate_dataset_arrays(600, 100, err, mr, seed=13)
+    ref = np.asarray(nw_penalty(*map(jnp.asarray, (rc, rl, fc, fl))))
+    auto = nw_penalty_auto(
+        jnp.asarray(stage_planes_t(rc)), jnp.asarray(rl),
+        jnp.asarray(stage_planes_t(fc)), jnp.asarray(fl),
+        interpret=True, pre_staged=True,
+    )
+    np.testing.assert_array_equal(np.asarray(auto), ref)
