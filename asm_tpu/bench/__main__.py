@@ -18,17 +18,20 @@ from asm_tpu.config import AlignConfig
 from asm_tpu.data.generator import generate_dataset_arrays
 
 
-def _gen(pairs, length, err, mr, seed, max_len):
+def _gen(pairs, length, err, mr, seed, max_len, length_range=None):
     """C++ generator when available (~50x faster for big corpora)."""
-    try:
-        from asm_tpu.native import generate_dataset_native
-        return generate_dataset_native(
-            pairs, length, err, mr, seed=seed, max_len=max_len
-        )
-    except Exception:
-        return generate_dataset_arrays(
-            pairs, length, err, mr, seed=seed, max_len=max_len
-        )
+    if length_range is None:
+        try:
+            from asm_tpu.native import generate_dataset_native
+            return generate_dataset_native(
+                pairs, length, err, mr, seed=seed, max_len=max_len
+            )
+        except Exception:
+            pass
+    return generate_dataset_arrays(
+        pairs, length, err, mr, seed=seed, max_len=max_len,
+        length_range=length_range,
+    )
 from asm_tpu.data.io import read_pair_file
 from asm_tpu.encoding import encode_batch
 
@@ -61,6 +64,12 @@ def main():
                    help="use the SRR611076-profile synthetic corpus "
                         "(README.md:70-76 error rates) instead of the "
                         "WFA-style rate sweep")
+    p.add_argument("--length-range", type=int, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="variable-length corpus: per-pair read lengths "
+                        "uniform in [LO, HI] (the reference's real data "
+                        "is variable-length; its MASK_END machinery "
+                        "exists for this)")
     p.add_argument("--x", type=int, default=1)
     p.add_argument("--o", type=int, default=1)
     p.add_argument("--e", type=int, default=1)
@@ -85,20 +94,24 @@ def main():
     elif args.real_profile:
         from asm_tpu.data.generator import generate_real_profile_arrays
 
+        lr = tuple(args.length_range) if args.length_range else None
+        tag = f" lengths {lr[0]}-{lr[1]}" if lr else ""
         corpora = [(
-            "real-profile (SRR611076 rates)",
+            f"real-profile (SRR611076 rates){tag}",
             generate_real_profile_arrays(
                 args.pairs, args.length, seed=args.seed,
-                max_len=cfg.max_len,
+                max_len=cfg.max_len, length_range=lr,
             ),
         )]
     else:
         errs = args.err or [0.05, 0.10, 0.15, 0.20]
+        lr = tuple(args.length_range) if args.length_range else None
+        tag = f" lengths {lr[0]}-{lr[1]}" if lr else ""
         corpora = [
             (
-                f"simulated err={e_:.2f}",
+                f"simulated err={e_:.2f}{tag}",
                 _gen(args.pairs, args.length, e_, args.mismatch_rate,
-                     args.seed, cfg.max_len),
+                     args.seed, cfg.max_len, length_range=lr),
             )
             for e_ in errs
         ]

@@ -92,6 +92,7 @@ def generate_dataset_arrays(
     max_len: int = 128,
     pad_read: int = 4,
     pad_ref: int = 5,
+    length_range: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized generator emitting encoded arrays directly.
 
@@ -103,6 +104,14 @@ def generate_dataset_arrays(
     scalar version (per-step-across-pairs vs per-pair), so the two are
     distributionally, not bitwise, identical.
 
+    length_range=(lo, hi) draws each pair's read length uniformly in
+    [lo, hi] instead of the fixed `length` — the variable-length story
+    the reference's real data has (its MASK_END machinery exists for
+    exactly this, LEAP_SIMD/mask.cpp); the per-pair error count uses the
+    same float32 ceil expression on the pair's own length. The fixed-
+    length path (length_range=None) is byte-identical to before, so
+    cached corpora stay valid.
+
     Returns (read_codes int8[N, max_len], read_len int32[N],
              ref_codes int8[N, max_len], ref_len int32[N]) with the
     framework's sentinel padding (encoding.PAD_READ / PAD_REF).
@@ -113,18 +122,37 @@ def generate_dataset_arrays(
         raise ValueError(f"mismatch rate {mismatch_rate} out of [0, 1]")
     rng = np.random.default_rng(seed)
     N = num_reads
-    max_errors = nominal_errors(length, error_rate)
+    if length_range is not None:
+        lo, hi = length_range
+        if not 1 <= lo <= hi:
+            raise ValueError(f"bad length_range {length_range}")
+        lens = rng.integers(lo, hi + 1, size=N).astype(np.int32)
+        length = hi
+        err_cap = np.ceil(
+            lens.astype(np.float32) * np.float32(error_rate)
+        ).astype(np.int32)  # per-pair float32 ceil (see nominal_errors)
+        max_errors = int(err_cap.max(initial=0))
+    else:
+        lens = np.full(N, length, dtype=np.int32)
+        max_errors = nominal_errors(length, error_rate)
+        err_cap = np.full(N, max_errors, dtype=np.int32)
     W = length + max_errors  # worst-case text length (all insertions)
 
     pattern = rng.integers(0, 4, size=(N, length), dtype=np.int8)
     text = np.full((N, W), 0, dtype=np.int8)
     text[:, :length] = pattern
-    tlen = np.full(N, length, dtype=np.int32)
+    if length_range is not None:
+        # bases past each pair's own length are don't-care in the text
+        # evolution (all ops index < tlen) but must not leak into reads
+        text[:, :length][np.arange(length)[None, :] >= lens[:, None]] = 0
+    tlen = lens.copy()
 
     if exact_error_rate:
-        nerr = np.full(N, max_errors, dtype=np.int32)
-    else:
+        nerr = err_cap.copy()
+    elif length_range is None:  # original draw order: cached-corpus compat
         nerr = rng.integers(0, max_errors + 1, size=N).astype(np.int32)
+    else:
+        nerr = (rng.random(N) * (err_cap + 1)).astype(np.int32)
 
     cols = np.arange(W, dtype=np.int32)[None, :]  # [1, W]
     for step in range(max_errors):
@@ -154,7 +182,10 @@ def generate_dataset_arrays(
     read_codes = np.full((N, max_len), pad_read, dtype=np.int8)
     m = min(length, max_len)
     read_codes[:, :m] = pattern[:, :m]
-    read_len = np.full(N, m, dtype=np.int32)
+    read_len = np.minimum(lens, max_len).astype(np.int32)
+    # positions past each read's true length must stay sentinel
+    rmask = np.arange(max_len)[None, :] >= read_len[:, None]
+    read_codes[rmask] = pad_read
 
     ref_codes = np.full((N, max_len), pad_ref, dtype=np.int8)
     w = min(W, max_len)
@@ -176,6 +207,7 @@ def generate_real_profile_arrays(
     max_len: int = 128,
     pad_read: int = 4,
     pad_ref: int = 5,
+    length_range: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Synthetic stand-in for the reference's real-data corpus.
 
@@ -191,20 +223,30 @@ def generate_real_profile_arrays(
     """
     rng = np.random.default_rng(seed)
     N = num_reads
+    if length_range is not None:
+        lo, hi = length_range
+        if not 1 <= lo <= hi:
+            raise ValueError(f"bad length_range {length_range}")
+        lens = rng.integers(lo, hi + 1, size=N).astype(np.int32)
+        length = hi
+    else:
+        lens = np.full(N, length, dtype=np.int32)
     pattern = rng.integers(0, 4, size=(N, length), dtype=np.int8)
+    if length_range is not None:
+        pattern[np.arange(length)[None, :] >= lens[:, None]] = 0
 
     # realized substitutions: flip to one of the other three bases
     mis = rng.random((N, length)) < mismatch_frac
     delta = rng.integers(1, 4, size=(N, length), dtype=np.int8)
     text_base = np.where(mis, (pattern + delta) % 4, pattern).astype(np.int8)
 
-    n_ins = rng.binomial(length, insert_frac, size=N).astype(np.int32)
-    n_del = rng.binomial(length, delete_frac, size=N).astype(np.int32)
+    n_ins = rng.binomial(lens, insert_frac).astype(np.int32)
+    n_del = rng.binomial(lens, delete_frac).astype(np.int32)
     max_ev = int(max((n_ins + n_del).max(initial=0), 0))
     Wt = length + (int(n_ins.max(initial=0)) if N else 0)
     text = np.full((N, max(Wt, length)), 0, dtype=np.int8)
     text[:, :length] = text_base
-    tlen = np.full(N, length, dtype=np.int32)
+    tlen = lens.copy()
     Wt = text.shape[1]
     cols = np.arange(Wt, dtype=np.int32)[None, :]
     for step in range(max_ev):
@@ -228,7 +270,9 @@ def generate_real_profile_arrays(
     read_codes = np.full((N, max_len), pad_read, dtype=np.int8)
     m = min(length, max_len)
     read_codes[:, :m] = pattern[:, :m]
-    read_len = np.full(N, m, dtype=np.int32)
+    read_len = np.minimum(lens, max_len).astype(np.int32)
+    rmask = np.arange(max_len)[None, :] >= read_len[:, None]
+    read_codes[rmask] = pad_read
     ref_codes = np.full((N, max_len), pad_ref, dtype=np.int8)
     w = min(Wt, max_len)
     ref_codes[:, :w] = text[:, :w]
