@@ -34,9 +34,15 @@ funnel shift of one side's two planes by |lane| bits + XOR/OR word math
 because every XLA-side formulation tried (reduce over a [.., W, 32]
 minor axis, bitcast+SWAR-multiply trees, transpose-then-row-OR chains)
 lowered to relayout-heavy HLO that cost more than this whole kernel.
-The CIGAR step records leave as one packed int32 per step (dl in the low
-16 bits, advance in the high 16) and are expanded to the standard
-(op, run) slot buffers in XLA.
+The CIGAR step records leave as one packed int16 per step — bit 0 flags
+the final leap, bits 1-7 carry the in-loop lane delta biased by +64,
+bits 8-15 the match advance — and are expanded to the standard (op, run)
+slot buffers in XLA. int16 halves the record buffer's HBM writeback (the
+output block is copied out in full per tile, early exit or not), which
+is a measurable slice of the kernel's fixed cost at 33M-pair chunks.
+The final leap's lane delta spans +-(L+k) (out-of-band destinations) and
+does not fit the biased byte; the expansion reconstructs it as
+dest_lane - sum(in-loop deltas), both of which it already has.
 """
 
 from __future__ import annotations
@@ -65,12 +71,22 @@ def _ctz32(w):
     return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
 
 
+def _rec_dtype(cfg: AlignConfig):
+    """int16 step records when the fields fit (flag 1 bit, in-loop lane
+    delta + 64 in 7 bits, advance in 8) — halves the record block's HBM
+    writeback; int32 otherwise (long sequences / very wide bands)."""
+    if cfg.max_len <= 255 and 2 * cfg.k <= 62:
+        return jnp.int16
+    return jnp.int32
+
+
 def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
                    fl_ref, cost_ref, steps_ref, rec_ref, st_ref, lane_ref):
     k = cfg.k
     NL = cfg.num_lanes
     L = cfg.max_len
     W = L // 32
+    rec_dt = _rec_dtype(cfg)
     x, o, e = cfg.x, cfg.o, cfg.e
     is_global = cfg.alignment_type == AlignmentType.GLOBAL
     match_sig, mismatch_sig, indel_sig = cfg.significance
@@ -140,8 +156,25 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
     # reference compares stale buffer bytes (hurdle_matrix.h:497), and
     # zeros funnel-shifted in past word W-1 land at positions >= L - s
     # >= len - s, so they too read as hurdles (the PAD_SHIFT semantics).
-    inv_r = [masks_ge(m - s) for s in range(k + 1)]
-    inv_f = [masks_ge(n - s) for s in range(k + 1)]
+    # inv(s) = mask_ge(len - s) = inv(s-1) funnel-shifted down one bit
+    # with the register's top bit refilled (len <= L so bit L-1 is always
+    # invalid at s >= 1; all-ones rows stay all-ones) — 3 word ops per
+    # extra shift instead of a fresh mask_ge chain per (side, s)
+    def inv_chain(base_len):
+        out = [masks_ge(base_len)]
+        for s in range(1, k + 1):
+            prev = out[-1]
+            nxt = [
+                (prev[w] >> jnp.uint32(1))
+                | ((prev[w + 1] << jnp.uint32(31)) if w + 1 < W
+                   else jnp.uint32(0x80000000))
+                for w in range(W)
+            ]
+            out.append(nxt)
+        return out
+
+    inv_r = inv_chain(m)
+    inv_f = inv_chain(n)
 
     def funnel(words, s):
         """Shift a packed row right by s bits: result bit p = input bit p+s."""
@@ -224,7 +257,7 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
     in_band = jnp.abs(dest_lane) <= k
 
     # zero the record buffer (unwritten rows must decode to empty slots)
-    rec_ref[...] = jnp.zeros((T + 1,) + shape, jnp.int32)
+    rec_ref[...] = jnp.zeros((T + 1,) + shape, rec_dt)
 
     zero = jnp.zeros(shape, jnp.int32)
 
@@ -400,11 +433,12 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
         cost = cost + jnp.where(move, swc_c + hc_c, 0)
         distance = sp_c + len_c - (cur_col + sfc(cur_lane, bl_lane))
 
+        # step record: bit 0 = final-leap flag (0 here), bits 1-7 the lane
+        # delta biased +64 (nonzero for every move record since |dl| <=
+        # 2k <= 62), bits 8+ the match advance
         dl = bl_lane - cur_lane
-        packed = (jnp.where(move, dl, 0) & 0xFFFF) | (
-            jnp.where(move, distance, 0) << 16
-        )
-        rec_ref[pl.ds(it, 1)] = packed[None]
+        packed = jnp.where(move, ((dl + 64) << 1) | (distance << 8), 0)
+        rec_ref[pl.ds(it, 1)] = packed.astype(rec_dt)[None]
 
         new_lane = jnp.where(move, bl_lane, cur_lane)
         new_col = jnp.where(move, sp_c + len_c, cur_col)
@@ -450,11 +484,13 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
     sc_pen = slp(cur_lane, dest_lane) if is_global else zero
     cost = cost + jnp.where(needs, sc_pen + jnp.maximum(0, x * distance), 0)
 
-    dl = dest_lane - cur_lane
-    packed = (jnp.where(needs, dl, 0) & 0xFFFF) | (
-        jnp.where(needs & (distance > 0), distance, 0) << 16
+    # final-leap record: flag bit set; its lane delta spans +-(L+k) (out-
+    # of-band destinations) and is NOT stored — the expansion reconstructs
+    # it as dest_lane - sum(in-loop deltas)
+    packed = jnp.where(
+        needs, 1 | (jnp.where(distance > 0, distance, 0) << 8), 0
     )
-    rec_ref[pl.ds(it, 1)] = packed[None]
+    rec_ref[pl.ds(it, 1)] = packed.astype(rec_dt)[None]
 
     cost_ref[...] = cost
     steps_ref[...] = steps
@@ -570,7 +606,8 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
 
     want_cigar=False skips the XLA-side expansion of the packed step
     records into (op, run) slot buffers and returns only cost / steps /
-    the raw packed records (`step_rec` int32[T+1, B]) — the kernel always
+    the raw packed records (`step_rec` int16[T+1, B], int32 for long
+    sequences / wide bands — see _rec_dtype) — the kernel always
     emits the full RLE record stream (like the reference always appends
     its CIGAR string), but expanding it to slot buffers costs more HBM
     traffic than the alignment itself at large batches.
@@ -661,7 +698,7 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
         out_shape=[
             jax.ShapeDtypeStruct((NB, 128), jnp.int32),
             jax.ShapeDtypeStruct((NB, 128), jnp.int32),
-            jax.ShapeDtypeStruct((T + 1, NB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((T + 1, NB, 128), _rec_dtype(cfg)),
         ],
         scratch_shapes=[
             pltpu.VMEM((5, _SUB, 128), jnp.int32),            # st_ref
@@ -678,8 +715,19 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
         return dict(cost=cost, steps=steps, step_rec=rec)
 
     # ---- expand packed records to (op, run) slot buffers (as greedy.py) --
-    sdl = (rec.astype(jnp.int32) << 16) >> 16  # sign-extended low half
-    sdist = rec >> 16
+    r = rec.astype(jnp.int32)
+    if _rec_dtype(cfg) == jnp.int16:
+        r = r & 0xFFFF  # undo the int16 sign extension, keep raw bits
+    is_final = (r & 1) != 0
+    sdist = r >> 8
+    sdl = jnp.where(is_final, 0, ((r >> 1) & 0x7F) - 64)
+    sdl = jnp.where(r != 0, sdl, 0)
+    # the final leap's lane delta is reconstructed, not stored (it spans
+    # +-(L+k)): dest_lane minus everything the in-loop records moved
+    m = jnp.minimum(read_len.astype(jnp.int32), L)[:B]
+    n = jnp.minimum(ref_len.astype(jnp.int32), L)[:B]
+    dl_final = (n - m) - jnp.sum(sdl, axis=0)
+    sdl = jnp.where(is_final, dl_final[None, :], sdl)
     sdl_t = sdl.T  # [B, T+1]
     sdist_t = sdist.T
     ops_even = jnp.where(sdl_t < 0, OP_I, OP_D).astype(jnp.int8)
