@@ -13,11 +13,14 @@
 // into e+1 seeds; some seed is exact), so the index itself needs only
 // exact backward search.
 //
-// Structures: suffix array by prefix doubling (O(n log^2 n) build), BWT,
-// Occ checkpoints every 64 rows + byte scan, C[] counts, full SA kept for
-// O(1) locate (4 bytes/char — sized for the reference mapper's
-// demo-scale genomes; checkpointed SA sampling is a straightforward
-// extension). Alphabet: sentinel=0 < A=1 < C=2 < G=3 < T=4.
+// Structures: suffix array by prefix doubling with counting-sort rounds
+// (O(n log n) build — multi-megabase genomes in seconds), BWT, Occ
+// checkpoints every 64 rows + byte scan, C[] counts, and CHECKPOINTED SA
+// SAMPLING for locate: only suffixes at text positions divisible by
+// SA_SAMPLE are stored (~0.27 B/char instead of the full SA's 4 B/char);
+// locate LF-walks from any row to the nearest sampled one (<= SA_SAMPLE
+// steps). The full SA exists only transiently during build.
+// Alphabet: sentinel=0 < A=1 < C=2 < G=3 < T=4.
 
 #include <algorithm>
 #include <cstdint>
@@ -29,37 +32,59 @@
 namespace {
 
 constexpr int CKPT = 64;
-constexpr uint32_t MAGIC = 0x41534d46;  // "ASMF"
+constexpr int SA_SAMPLE = 32;           // text-position sampling stride
+constexpr uint32_t MAGIC = 0x41534d47;  // "ASMG" (v2: sampled SA)
 
 struct FMIndex {
     int64_t n = 0;                 // text length incl. sentinel
     std::vector<uint8_t> bwt;      // [n] symbols 0..4
-    std::vector<int32_t> sa;       // [n]
     std::vector<int64_t> C;        // [6] C[c] = #symbols < c
     std::vector<int64_t> occ;      // [(n/CKPT+1) * 5] checkpointed counts
+    // sampled SA: row i is sampled iff sa[i] % SA_SAMPLE == 0;
+    // mark bit + rank directory give the slot in `sval`
+    std::vector<uint64_t> mark;    // [ceil(n/64)] bitset over SA rows
+    std::vector<int64_t> mrank;    // [words+1] prefix popcount of mark
+    std::vector<int32_t> sval;     // sampled sa values, mark order
 };
 
+// prefix doubling with counting-sort rounds (radix on (rank, rank+k)):
+// O(n log n), comfortably multi-megabase
 void build_sa(const std::vector<uint8_t>& t, std::vector<int32_t>& sa) {
     int64_t n = (int64_t)t.size();
     sa.resize(n);
-    std::vector<int32_t> rank(n), tmp(n);
-    for (int64_t i = 0; i < n; i++) {
-        sa[i] = (int32_t)i;
-        rank[i] = t[i];
-    }
-    for (int64_t k = 1;; k <<= 1) {
-        auto cmp = [&](int32_t a, int32_t b) {
-            if (rank[a] != rank[b]) return rank[a] < rank[b];
-            int32_t ra = a + k < n ? rank[a + k] : -1;
-            int32_t rb = b + k < n ? rank[b + k] : -1;
-            return ra < rb;
-        };
-        std::sort(sa.begin(), sa.end(), cmp);
-        tmp[sa[0]] = 0;
+    std::vector<int32_t> rank(n), tmp(n), cnt, sa2(n);
+    // initial order: counting sort by symbol
+    {
+        cnt.assign(7, 0);
+        for (int64_t i = 0; i < n; i++) cnt[t[i] + 1]++;
+        for (int c = 0; c < 6; c++) cnt[c + 1] += cnt[c];
+        for (int64_t i = 0; i < n; i++) sa[cnt[t[i]]++] = (int32_t)i;
+        rank[sa[0]] = 0;
         for (int64_t i = 1; i < n; i++)
-            tmp[sa[i]] = tmp[sa[i - 1]] + (cmp(sa[i - 1], sa[i]) ? 1 : 0);
-        rank = tmp;
-        if (rank[sa[n - 1]] == n - 1) break;
+            rank[sa[i]] = rank[sa[i - 1]] + (t[sa[i]] != t[sa[i - 1]]);
+    }
+    for (int64_t k = 1; rank[sa[n - 1]] != n - 1; k <<= 1) {
+        // sort by secondary key (rank[i+k], -1 past end): positions
+        // i >= n-k have no secondary key and come first, then the rest
+        // ordered by the PREVIOUS pass's sa order of i+k
+        int64_t p = 0;
+        for (int64_t i = n - k; i < n; i++) sa2[p++] = (int32_t)i;
+        for (int64_t i = 0; i < n; i++)
+            if (sa[i] >= k) sa2[p++] = sa[i] - (int32_t)k;
+        // stable counting sort by primary key rank[i]
+        cnt.assign(n + 1, 0);
+        for (int64_t i = 0; i < n; i++) cnt[rank[i] + 1]++;
+        for (int64_t c = 0; c < n; c++) cnt[c + 1] += cnt[c];
+        for (int64_t i = 0; i < n; i++) sa[cnt[rank[sa2[i]]]++] = sa2[i];
+        // re-rank
+        tmp[sa[0]] = 0;
+        for (int64_t i = 1; i < n; i++) {
+            int32_t a = sa[i - 1], b = sa[i];
+            int32_t ra2 = a + k < n ? rank[a + k] : -1;
+            int32_t rb2 = b + k < n ? rank[b + k] : -1;
+            tmp[b] = tmp[a] + (rank[a] != rank[b] || ra2 != rb2);
+        }
+        rank.swap(tmp);
     }
 }
 
@@ -69,6 +94,22 @@ int64_t occ_at(const FMIndex& f, int c, int64_t i) {
     int64_t cnt = f.occ[ck * 5 + c];
     for (int64_t p = ck * CKPT; p < i; p++) cnt += f.bwt[p] == c;
     return cnt;
+}
+
+// text position of SA row i: LF-walk to the nearest sampled row
+// (<= SA_SAMPLE steps), then read its stored value + steps walked
+int64_t locate_one(const FMIndex& f, int64_t i) {
+    int64_t steps = 0;
+    while (!(f.mark[i >> 6] >> (i & 63) & 1)) {
+        int c = f.bwt[i];
+        if (c == 0) return steps;  // wrapped to the sentinel row: pos 0
+        i = f.C[c] + occ_at(f, c, i);
+        steps++;
+    }
+    int64_t w = i >> 6;
+    int64_t slot = f.mrank[w] +
+                   __builtin_popcountll(f.mark[w] & ((1ull << (i & 63)) - 1));
+    return (int64_t)f.sval[slot] + steps;
 }
 
 }  // namespace
@@ -82,10 +123,11 @@ void* asm_fm_build(const int8_t* codes, int64_t n) {
     for (int64_t i = 0; i < n; i++) t[i] = (uint8_t)(codes[i] & 3) + 1;
     t[n] = 0;  // sentinel, lexicographically smallest
     f->n = n + 1;
-    build_sa(t, f->sa);
+    std::vector<int32_t> sa;  // full SA lives only during build
+    build_sa(t, sa);
     f->bwt.resize(f->n);
     for (int64_t i = 0; i < f->n; i++) {
-        int32_t s = f->sa[i];
+        int32_t s = sa[i];
         f->bwt[i] = s == 0 ? t[f->n - 1] : t[s - 1];
     }
     // C[] and checkpointed occ
@@ -99,6 +141,17 @@ void* asm_fm_build(const int8_t* codes, int64_t n) {
     }
     f->C.assign(6, 0);
     for (int c = 0; c < 5; c++) f->C[c + 1] = f->C[c] + counts[c];
+    // sampled SA + rank directory (locate memory: ~0.27 B/char)
+    int64_t words = (f->n + 63) >> 6;
+    f->mark.assign(words, 0);
+    f->mrank.assign(words + 1, 0);
+    for (int64_t i = 0; i < f->n; i++)
+        if (sa[i] % SA_SAMPLE == 0) f->mark[i >> 6] |= 1ull << (i & 63);
+    for (int64_t w = 0; w < words; w++)
+        f->mrank[w + 1] = f->mrank[w] + __builtin_popcountll(f->mark[w]);
+    f->sval.resize(f->mrank[words]);
+    for (int64_t i = 0, s = 0; i < f->n; i++)
+        if (f->mark[i >> 6] >> (i & 63) & 1) f->sval[s++] = sa[i];
     return f;
 }
 
@@ -127,7 +180,8 @@ int64_t asm_fm_locate(void* h, int64_t lo, int64_t hi, int64_t cap,
                       int64_t* positions) {
     const FMIndex& f = *(FMIndex*)h;
     int64_t k = 0;
-    for (int64_t i = lo; i < hi && k < cap; i++) positions[k++] = f.sa[i];
+    for (int64_t i = lo; i < hi && k < cap; i++)
+        positions[k++] = locate_one(f, i);
     return k;
 }
 
@@ -174,7 +228,7 @@ int64_t asm_fm_candidates(void* h, const int8_t* reads, const int32_t* lens,
                 int64_t i = lo + (range <= max_hits_per_seed
                                       ? t
                                       : (t * range) / take);
-                int64_t start = (int64_t)f.sa[i] - off;
+                int64_t start = locate_one(f, i) - off;
                 if (start >= -(int64_t)max_errors)
                     cands.push_back(start < 0 ? 0 : start);
             }
@@ -200,11 +254,17 @@ int32_t asm_fm_save(void* h, const char* path) {
     fwrite(&magic, 4, 1, fp);
     fwrite(&f.n, 8, 1, fp);
     fwrite(f.bwt.data(), 1, f.n, fp);
-    fwrite(f.sa.data(), 4, f.n, fp);
     fwrite(f.C.data(), 8, 6, fp);
     int64_t nocc = (int64_t)f.occ.size();
     fwrite(&nocc, 8, 1, fp);
     fwrite(f.occ.data(), 8, nocc, fp);
+    int64_t words = (int64_t)f.mark.size();
+    int64_t nsval = (int64_t)f.sval.size();
+    fwrite(&words, 8, 1, fp);
+    fwrite(f.mark.data(), 8, words, fp);
+    fwrite(f.mrank.data(), 8, words + 1, fp);
+    fwrite(&nsval, 8, 1, fp);
+    fwrite(f.sval.data(), 4, nsval, fp);
     fclose(fp);
     return 0;
 }
@@ -221,10 +281,8 @@ void* asm_fm_load(const char* path) {
     bool ok = fread(&f->n, 8, 1, fp) == 1;
     if (ok) {
         f->bwt.resize(f->n);
-        f->sa.resize(f->n);
         f->C.resize(6);
         ok = fread(f->bwt.data(), 1, f->n, fp) == (size_t)f->n &&
-             fread(f->sa.data(), 4, f->n, fp) == (size_t)f->n &&
              fread(f->C.data(), 8, 6, fp) == 6;
     }
     int64_t nocc = 0;
@@ -232,6 +290,20 @@ void* asm_fm_load(const char* path) {
     if (ok) {
         f->occ.resize(nocc);
         ok = fread(f->occ.data(), 8, nocc, fp) == (size_t)nocc;
+    }
+    int64_t words = 0;
+    if (ok) ok = fread(&words, 8, 1, fp) == 1;
+    if (ok) {
+        f->mark.resize(words);
+        f->mrank.resize(words + 1);
+        ok = fread(f->mark.data(), 8, words, fp) == (size_t)words &&
+             fread(f->mrank.data(), 8, words + 1, fp) == (size_t)(words + 1);
+    }
+    int64_t nsval = 0;
+    if (ok) ok = fread(&nsval, 8, 1, fp) == 1;
+    if (ok) {
+        f->sval.resize(nsval);
+        ok = fread(f->sval.data(), 4, nsval, fp) == (size_t)nsval;
     }
     fclose(fp);
     if (!ok) {

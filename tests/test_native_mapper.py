@@ -180,3 +180,35 @@ def test_repeat_region_read_still_maps(tmp_path):
     # must find one at cost 0
     assert best[0]["cost"] == 0
     assert best[0]["pos"] % len(unit) == 0
+
+
+def test_megabase_genome_maps(tmp_path):
+    """Scale step: a 10 Mbp genome through index build (counting-sort
+    prefix doubling) + save/load (checkpointed SA sampling, ~0.27 B/char
+    locate memory instead of the old full SA's 4 B/char) + batched
+    pigeonhole mapping. Reads planted at known positions must map back
+    exactly with cost 0 within the suite's time budget."""
+    from asm_tpu.mapper.core import MapperConfig, build_index, map_reads
+
+    rng = np.random.default_rng(11)
+    n = 10_000_000
+    genome = rng.integers(0, 4, size=n, dtype=np.int8)
+    idx = build_index(genome, out_path=str(tmp_path / "g.idx"))
+    idx2 = FMIndex.load(str(tmp_path / "g.idx"))
+
+    n_reads, rl = 64, 100
+    pos = rng.integers(0, n - rl, size=n_reads)
+    reads = np.stack([genome[p:p + rl] for p in pos])
+    read_codes = np.full((n_reads, 128), 4, np.int8)
+    read_codes[:, :rl] = reads
+    read_lens = np.full(n_reads, rl, np.int32)
+
+    best, sam = map_reads(idx2, genome, read_codes, read_lens,
+                          mcfg=MapperConfig(max_errors=2))
+    for i in range(n_reads):
+        assert best[i] is not None, i
+        assert best[i]["pos"] == pos[i], (i, best[i]["pos"], pos[i])
+        # the rescoring window is read_len + 1 (reference quirk,
+        # mapper/main.cpp:79-80), so a perfect hit globally costs 1 gap
+        assert best[i]["cost"] <= 1, i
+    assert sam.count("\n") == n_reads + 3
