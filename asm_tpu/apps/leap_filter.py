@@ -47,10 +47,22 @@ from asm_tpu.encoding import encode_batch
 BATCH = 1 << 16
 
 
-def make_filter_step(cfg: AlignConfig, use_levenshtein: bool, use_shd: bool):
+def make_filter_step(cfg: AlignConfig, use_levenshtein: bool, use_shd: bool,
+                     impl: str = "xla", interpret: bool = False):
     """One jitted program: main.cpp pair conventions + optional fused SHD
-    gate + the SIMD_ED wavefront. Returns passed bool[B]."""
+    gate + the SIMD_ED wavefront. Returns passed bool[B].
+
+    impl="pallas" runs the fused VMEM-resident kernel (gate INSIDE the
+    kernel — one kernel, one dispatch per batch); "xla" the portable
+    path. Both are bit-equal (tests/test_simd_ed.py)."""
     semantics = "simd_ed_lev" if use_levenshtein else "simd_ed_affine"
+    if impl == "pallas":
+        from asm_tpu.kernels.leap_pallas import leap_align_pallas
+
+        align = functools.partial(leap_align_pallas, cfg=cfg,
+                                  semantics=semantics, interpret=interpret)
+    else:
+        align = functools.partial(leap_align, cfg=cfg, semantics=semantics)
 
     @jax.jit
     def step(rc, rl, fc, fl):
@@ -59,10 +71,9 @@ def make_filter_step(cfg: AlignConfig, use_levenshtein: bool, use_shd: bool):
         # strncpy(B, ref, read_len): zero-pad (code A) / truncate to rl
         fc_eff = jnp.where((pos < rl32[:, None]) & (fc >= 4), 0, fc)
         if use_levenshtein:
-            out = leap_align(rc, rl32, fc_eff, rl32, cfg,
-                             semantics=semantics, use_shd_gate=use_shd)
+            out = align(rc, rl32, fc_eff, rl32, use_shd_gate=use_shd)
             return out["passed"]
-        out = leap_align(rc, rl32, fc_eff, rl32, cfg, semantics=semantics)
+        out = align(rc, rl32, fc_eff, rl32)
         passed = out["passed"]
         if use_shd:  # sane stand-in for the reference's UB affine gate
             rc0 = jnp.where(rc < 4, rc, 0)
@@ -83,6 +94,9 @@ def main(argv=None):
     p.add_argument("use_shd", type=int, nargs="?", default=-1)
     p.add_argument("use_levenshtein", type=int, nargs="?", default=1)
     p.add_argument("--file", type=str, default=None)
+    p.add_argument("--impl", choices=("xla", "pallas"), default="xla",
+                   help="pallas = fused kernel with the SHD gate "
+                        "in-kernel (one kernel per batch)")
     args = p.parse_args(argv)
 
     if args.use_levenshtein:
@@ -104,7 +118,8 @@ def main(argv=None):
     else:
         use_shd = args.use_shd == 1
 
-    step = make_filter_step(cfg, bool(args.use_levenshtein), use_shd)
+    step = make_filter_step(cfg, bool(args.use_levenshtein), use_shd,
+                            impl=args.impl)
 
     src = open(args.file) if args.file else sys.stdin
     total = passed = 0

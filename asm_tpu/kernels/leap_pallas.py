@@ -41,7 +41,8 @@ def _ctz32(w):
     return jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
 
 
-def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
+def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
+                 semantics: str, use_shd_gate: bool, *refs):
     if want_cigar:
         (rc_ref, fc_ref, rl_ref, fl_ref, passed_ref, pen_ref, lane_ref_out,
          rec_ref, hist_ref, st_ref, bt_ref) = refs
@@ -190,20 +191,75 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
         if want_cigar:
             bt_ref[l] = pack4(start0, end0, unreached, unreached)
 
-    # st_ref rows: 0 passed, 1 final_ed, 2 final_lane
+    corrected = mode in (LeapMode.GLOBAL, LeapMode.SEMI_FREE_BEGIN)
+
+    # st_ref rows: 0 stop, 1 final_ed, 2 final_lane, 3 ed_pass
+    # (stop == pass except in simd_ed_lev, where a pair STOPS at its
+    # first converged lane even when the converge correction fails it)
     conv_any = zero
     first_lane = zero + mid
     found = zero
     for l in range(1, TL - 1):
         end0 = hist_ref[0, 0, l]
         c = (end0 == buflen) & (end0 >= 0)
-        # first converged lane wins at e=0 (argmax semantics)
-        first_lane = jnp.where((found == 0) & c, l, first_lane)
+        if semantics == "lv_bag":
+            # first converged lane in LV_BAG scan order (argmax)
+            first_lane = jnp.where((found == 0) & c, l, first_lane)
+        else:
+            # SIMD_ED's scan order is MIRRORED vs this kernel's lane
+            # axis (see kernels/leap.py) — its first is our last
+            first_lane = jnp.where(c, l, first_lane)
         found = jnp.where(c, 1, found)
         conv_any = conv_any | c.astype(jnp.int32)
-    st_ref[0] = conv_any
-    st_ref[1] = jnp.where(conv_any != 0, 0, af + 1)
+    if semantics == "simd_ed_affine" and corrected:
+        pen0, default_pen = 1000000, 1000000  # reset_affine converge_ED
+    elif corrected or semantics == "lv_bag":
+        pen0, default_pen = 0, af + 1
+    else:  # fresh SIMD_ED final_ED in LOCAL / SEMI_FREE_END modes
+        pen0, default_pen = 0, 0
+    stop0 = conv_any
+    pass0 = conv_any
+    pen_init = jnp.where(conv_any != 0, pen0, default_pen)
+    if use_shd_gate:
+        # the in-run SHD gate (SIMD_ED.cpp:270 -> bit_vec_filter_avx,
+        # SHD.cpp:335-385) on the packed lane words: AND of the interior
+        # lane masks (bits below the lane shift are this kernel's forced
+        # hurdles == the gate's BEG mask clears them; bits past buflen
+        # end-masked), then the POPCOUNT_SHD count — per-nibble 1-run
+        # starts plus one for the irregular table nibble 6 — <= k. A
+        # gated-out pair stops before the e=0 row with get_ED == 0 (what
+        # a fresh SIMD_ED reports after the early return).
+        m1 = jnp.uint32(0x11111111)
+        count = jnp.zeros(shape, jnp.int32)
+        for w in range(W):
+            dw = jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
+            for l in range(1, TL - 1):
+                dw = dw & lanes[l][w]
+            dw = dw & ~mask_ge(buflen, w)  # MASK_AVX_END(buffer_length)
+            # per-lane MASK_AVX_BEG(error-1) zeroes bits < error; the
+            # outermost lane's error == k zeroes every bit < k of the
+            # AND (this kernel's lane rows force those bits to 1
+            # instead), and the error==0 lane's out-of-bounds BEG row
+            # has bit 255 clear (shd_ref.DEFAULT_OOB_ROW)
+            dw = dw & ~mask_lt_const(k, w)
+            if L == 256 and w == W - 1:
+                dw = dw & jnp.uint32(0x7FFFFFFF)
+            starts = dw & ~((dw << jnp.uint32(1)) & jnp.uint32(0xEEEEEEEE))
+            t6 = dw ^ jnp.uint32(0x66666666)
+            t6 = t6 | (t6 >> jnp.uint32(1))
+            t6 = t6 | (t6 >> jnp.uint32(2))
+            is6 = ~t6 & m1
+            count = count + jax.lax.population_count(starts).astype(
+                jnp.int32
+            ) + jax.lax.population_count(is6).astype(jnp.int32)
+        gated = count > k
+        stop0 = stop0 | gated.astype(jnp.int32)
+        pass0 = jnp.where(gated, 0, pass0)
+        pen_init = jnp.where(gated, 0, pen_init)
+    st_ref[0] = stop0
+    st_ref[1] = pen_init
     st_ref[2] = jnp.where(conv_any != 0, first_lane, mid)
+    st_ref[3] = pass0
 
     def cond(e):
         pending = jnp.sum(1 - st_ref[0])
@@ -264,27 +320,56 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
             new_start.append(start_new)
             conv.append((end_new == buflen) & (start_new >= 0))
 
-        if mode in (LeapMode.GLOBAL, LeapMode.SEMI_FREE_BEGIN):
+        if semantics == "simd_ed_lev":
+            # run_levenshtein stops at the FIRST converged lane in ITS
+            # scan order (mirrored: our LAST) whether or not the
+            # converge correction passes it (SIMD_ED.cpp:333-352)
+            stop_now = zero != 0
+            lane_now = zero
+            ld_now = zero
+            for l in range(1, TL - 1):
+                stop_now = stop_now | conv[l]
+                lane_now = jnp.where(conv[l], l, lane_now)
+                ld_now = jnp.where(conv[l], abs(l - mid), ld_now)
+            if corrected:
+                pen_now = e + ld_now  # converge_ED
+                pass_now = stop_now & (pen_now <= af)
+            else:
+                pen_now = zero + e
+                pass_now = stop_now
+        elif corrected:
             tmin = zero + BIG
             lane_now = zero
             for l in range(1, TL - 1):
                 ld = abs(l - mid)
                 t = e + (0 if ld == 0 else go + (ld - 1) * ge)
                 tt = jnp.where(conv[l] & (t <= af), t, BIG)
-                better = tt < tmin
+                if semantics == "simd_ed_affine":
+                    # strict `t < converge_ED` keeps the earliest lane
+                    # in SIMD_ED's mirrored scan order = our last
+                    better = tt <= tmin
+                else:
+                    better = tt < tmin
                 tmin = jnp.where(better, tt, tmin)
                 lane_now = jnp.where(better, l, lane_now)
             pass_now = tmin < BIG
+            stop_now = pass_now
+            # LV_BAG reports the uncorrected energy; SIMD_ED::get_ED the
+            # corrected converge_ED (SIMD_ED.cpp:748-753)
+            pen_now = tmin if semantics == "simd_ed_affine" else zero + e
         else:
             pass_now = zero != 0
             lane_now = zero
             for l in range(1, TL - 1):  # LAST converged lane wins
                 pass_now = pass_now | conv[l]
                 lane_now = jnp.where(conv[l], l, lane_now)
+            stop_now = pass_now
+            pen_now = zero + e
 
-        fresh = pass_now & act
-        st_ref[0] = (passed | pass_now).astype(jnp.int32)
-        st_ref[1] = jnp.where(fresh, e, st_ref[1])
+        fresh = stop_now & act
+        st_ref[0] = (~act | stop_now).astype(jnp.int32)
+        st_ref[3] = jnp.where(fresh & pass_now, 1, st_ref[3])
+        st_ref[1] = jnp.where(fresh, pen_now, st_ref[1])
         st_ref[2] = jnp.where(fresh, lane_now, st_ref[2])
 
         # freeze history of already-passed pairs
@@ -310,7 +395,7 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
 
     jax.lax.while_loop(cond, body, jnp.int32(1))
 
-    passed_ref[...] = st_ref[0]
+    passed_ref[...] = st_ref[3]
     pen_ref[...] = st_ref[1]
     lane_ref_out[...] = st_ref[2] - mid
 
@@ -328,10 +413,10 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
     # op in bits 0-1 (0 none, 1 M, 2 I, 3 D), is_open bit 2, match-run
     # bits 3+; row 0 holds the terminal match run (no edit ends at e=0).
     rec_ref[...] = jnp.zeros((E + 1,) + shape, jnp.int32)
-    passed_v = st_ref[0] != 0
-    st_ref[3] = jnp.where(passed_v, st_ref[1], 0)  # cur_e (0 = done)
-    st_ref[4] = st_ref[2]                          # cur_lane (lane index)
-    st_ref[5] = zero                               # mode = OUTER
+    passed_v = st_ref[3] != 0
+    st_ref[4] = jnp.where(passed_v, st_ref[1], 0)  # cur_e (0 = done)
+    st_ref[5] = st_ref[2]                          # cur_lane (lane index)
+    st_ref[6] = zero                               # mode = OUTER
 
     def sel_lane(rows, lane_vec):
         out = rows[0]
@@ -348,12 +433,12 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
         # every emitted edit lowers the acting pairs' cursor by >= 1, so
         # E sweeps always suffice; the `it` bound is a belt-and-braces
         # guard against junk history (pairs passing above energy E)
-        return (it <= E) & (jnp.max(st_ref[3]) > 0)
+        return (it <= E) & (jnp.max(st_ref[4]) > 0)
 
     def wbody(it):
-        cur_e = st_ref[3]
-        cur_lane = st_ref[4]
-        cmode = st_ref[5]
+        cur_e = st_ref[4]
+        cur_lane = st_ref[5]
+        cmode = st_ref[6]
         ev = jnp.max(cur_e)
         act = cur_e == ev  # ev > 0, so act excludes finished pairs
 
@@ -398,9 +483,9 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
             jnp.where(is_d, jnp.where(ext_d, ge, go), ms),
         )
         new_mode = jnp.where(is_i & ext_i, 1, jnp.where(is_d & ext_d, 2, 0))
-        st_ref[3] = jnp.where(act, jnp.maximum(ev - de, 0), cur_e)
-        st_ref[4] = jnp.where(act, cur_lane + d_lane, cur_lane)
-        st_ref[5] = jnp.where(act, new_mode, cmode)
+        st_ref[4] = jnp.where(act, jnp.maximum(ev - de, 0), cur_e)
+        st_ref[5] = jnp.where(act, cur_lane + d_lane, cur_lane)
+        st_ref[6] = jnp.where(act, new_mode, cmode)
         return it + 1
 
     jax.lax.while_loop(wcond, wbody, jnp.int32(0))
@@ -408,17 +493,20 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool, *refs):
     # terminal match run at energy 0 on the walk's final lane
     # (leap_backtrack_one's trailing ('', end-start) entry)
     row0 = [bt_ref[l] for l in range(TL)]
-    w0 = sel_lane(row0, st_ref[4])
+    w0 = sel_lane(row0, st_ref[5])
     term = unpack(w0, 1) - unpack(w0, 0)
     rec_ref[0] = jnp.where(passed_v, term, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "pre_staged", "want_cigar")
+    jax.jit, static_argnames=("cfg", "interpret", "pre_staged", "want_cigar",
+                              "semantics", "use_shd_gate")
 )
 def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
                       cfg: AlignConfig, interpret: bool = False,
-                      pre_staged: bool = False, want_cigar: bool = False):
+                      pre_staged: bool = False, want_cigar: bool = False,
+                      semantics: str = "lv_bag",
+                      use_shd_gate: bool = False):
     """Drop-in replacement for leap_align (passed / penalty / lane_shift).
 
     want_cigar=True additionally runs the BACKTRACK inside the kernel
@@ -492,7 +580,24 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
     code_rows = L // 16 if planes else L // 4
-    kernel = functools.partial(_leap_kernel, cfg, planes, want_cigar)
+    assert semantics in ("lv_bag", "simd_ed_lev", "simd_ed_affine")
+    if want_cigar:
+        assert semantics == "lv_bag", (
+            "the fused backtrack mirrors LV_BAG; SIMD_ED CIGARs come "
+            "from reference_impl.simd_ed_ref"
+        )
+    if semantics == "simd_ed_lev":
+        assert (cfg.x, cfg.o, cfg.e) == (1, 1, 1) and \
+            cfg.leap_af_threshold == cfg.k, (
+                "init_levenshtein(ED_t): unit penalties, af == k"
+            )
+    if use_shd_gate:
+        assert semantics == "simd_ed_lev", (
+            "the reference gates run_levenshtein only (the affine gate "
+            "is UB; lv_bag has no gate)"
+        )
+    kernel = functools.partial(_leap_kernel, cfg, planes, want_cigar,
+                               semantics, use_shd_gate)
     vec_spec = pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [vec_spec, vec_spec, vec_spec]
@@ -503,7 +608,7 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     ]
     scratch = [
         pltpu.VMEM((3, R, TL, _SUB, 128), jnp.int32),  # hist_ref
-        pltpu.VMEM((6 if want_cigar else 3, _SUB, 128), jnp.int32),  # st_ref
+        pltpu.VMEM((7 if want_cigar else 4, _SUB, 128), jnp.int32),  # st_ref
     ]
     if want_cigar:
         out_specs.append(

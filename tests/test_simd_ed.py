@@ -122,3 +122,30 @@ def test_levenshtein_stale_flip_quirk():
     second = emu.run_pair(bad, bad_ref, want_cigar=False)
     assert second["passed"] and second["leaked"]  # the quirk
     assert not _fresh(bad, bad_ref, 3, 1, False)[0]  # fresh run fails
+
+
+@pytest.mark.parametrize("lev,shd", [(1, 1), (1, 0), (0, 0)])
+def test_pallas_simd_ed_matches_xla(lev, shd):
+    """The fused kernel's SIMD_ED semantics + in-kernel SHD gate equal
+    the XLA path bit for bit (which itself equals a fresh SIMD_ED)."""
+    from asm_tpu.kernels.leap_pallas import leap_align_pallas
+
+    k = 3
+    reads, refs = generate_dataset(96, 100, 0.05, 0.96, seed=66)
+    rc, rl32, fc_eff = _main_cpp_inputs(reads, refs, 128)
+    if lev:
+        cfg = AlignConfig(x=1, o=1, e=1, k=k, leap_af_threshold=k,
+                          leap_mode=LeapMode.GLOBAL, max_len=128)
+        sem = "simd_ed_lev"
+    else:
+        cfg = AlignConfig(x=2, o=3, e=1, k=k, leap_af_threshold=3 * k,
+                          leap_mode=LeapMode.GLOBAL, max_len=128)
+        sem = "simd_ed_affine"
+    x = leap_align(rc, rl32, fc_eff, rl32, cfg, semantics=sem,
+                   use_shd_gate=bool(shd))
+    p = leap_align_pallas(rc, rl32, fc_eff, rl32, cfg, interpret=True,
+                          semantics=sem, use_shd_gate=bool(shd))
+    np.testing.assert_array_equal(np.asarray(x["passed"]),
+                                  np.asarray(p["passed"]))
+    np.testing.assert_array_equal(np.asarray(x["penalty"]),
+                                  np.asarray(p["penalty"]))

@@ -29,7 +29,8 @@ from asm_tpu.utils.corpus_cache import load_corpus
 # reference single-core numbers (BASELINE.md); leap_cigar measures the
 # CIGAR-producing path against the same LEAP baseline (the reference's
 # timed loop never skips backtrack state upkeep)
-BASE = {"leap": 0.65e6, "leap_cigar": 0.65e6, "nw": 27.6e3}
+BASE = {"leap": 0.65e6, "leap_cigar": 0.65e6, "leap_gated": 0.65e6,
+        "nw": 27.6e3}
 
 
 def main():
@@ -80,7 +81,7 @@ def main():
             "vs_baseline": round(aps / BASE[name], 3),
         }))
 
-    if "leap" in which or "leap_cigar" in which:
+    if "leap" in which or "leap_cigar" in which or "leap_gated" in which:
         from asm_tpu.kernels.greedy_pallas import stage_planes_t
         from asm_tpu.kernels.leap_pallas import leap_align_pallas
 
@@ -137,6 +138,24 @@ def main():
             print(f"leap_cigar max passed energy: {maxp} (bound {E})",
                   file=sys.stderr)
             assert maxp <= E, "leap_max_energy bound too tight for corpus"
+
+        if "leap_gated" in which:
+            # SHD-gated SIMD_ED-levenshtein filter, gate IN-KERNEL (one
+            # fused kernel per chunk — the reference gates inside run(),
+            # SIMD_ED.cpp:270); init_levenshtein(k=3) semantics
+            gcfg = AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=3,
+                               max_len=128)
+            gbase = jax.jit(functools.partial(
+                leap_align_pallas, cfg=gcfg, pre_staged="planes",
+                semantics="simd_ed_lev", use_shd_gate=True))
+
+            @jax.jit
+            def gstep(a, b, c, d):
+                out = gbase(a, b, c, d)
+                return out["passed"], jnp.sum(out["penalty"]) + jnp.sum(
+                    out["passed"])
+
+            run("leap_gated", gstep, chunks, 1)
         del chunks
 
     if "nw" in which:
