@@ -529,6 +529,12 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     pack (the shared production corpus layout). The [B, L] path bitcasts
     + transposes on device — correct but slow at large B (XLA's
     transpose runs far below HBM speed).
+
+    semantics / use_shd_gate mirror kernels/leap.py (LV_BAG vs SIMD_ED
+    selection + reporting; the in-run SHD pre-filter, here computed
+    IN-KERNEL on the packed lane words so a gated filter batch is one
+    fused kernel). Bit-equal to the XLA path per tests/test_simd_ed.py;
+    want_cigar requires lv_bag (the backtrack mirrors LV_BAG).
     """
     L = cfg.max_len
     assert L % 32 == 0
