@@ -116,6 +116,12 @@ def _configure(lib):
     lib.asm_stage_planes_t.argtypes = [
         u32p, c.c_void_p, c.c_int64, c.c_int32, u32p, c.c_int32,
     ]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.asm_stage_lanes_t.restype = None
+    lib.asm_stage_lanes_t.argtypes = [
+        u32p, u32p, i32p, i32p, c.c_void_p, c.c_int64, c.c_int32,
+        c.c_int32, u32p, c.c_int32,
+    ]
     lib.asm_read_into.restype = c.c_int64
     lib.asm_read_into.argtypes = [
         c.c_char_p, c.c_int64, c.c_void_p, c.c_int64, c.c_int32,

@@ -108,10 +108,18 @@ def main():
     perm = None
     chunk_bounds = None
     resort = int(os.environ.get("BENCH_RESORT", 1))
+    # BENCH_LAYOUT: "planes" (default — 2-bit planes, 64 B/pair input;
+    # kernel builds hurdle rows in VMEM) or "lanes" (host-staged finished
+    # hurdle rows, 112 B/pair). Measured on the v5e: lanes is ~22% SLOWER
+    # (459M vs 587M aligns/s) — the kernel is input-bandwidth-bound, so
+    # trading VPU build ops for 1.75x more streamed HBM input loses;
+    # kept as the documented experiment + a correctness path.
+    layout = os.environ.get("BENCH_LAYOUT", "planes")
     order_cache = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_cache",
         f"stepsort_{n_pairs}_{err}_{chunk}_{max_steps}_v1.npz",
     )
+    rl0, fl0 = rl, fl  # unpermuted lengths (lane staging permutes itself)
     if int(os.environ.get("BENCH_SORT", 1)):
         from asm_tpu.parallel import difficulty_order
         from asm_tpu.utils.hostmem import take_rows
@@ -140,7 +148,7 @@ def main():
               file=sys.stderr)
 
     mesh = make_mesh()
-    pre_staged = "planes" if impl == "pallas" else False
+    pre_staged = layout if impl == "pallas" else False
     n_chunks = n_pairs // chunk
 
     # fold the checksum/steps reductions into the SAME dispatch as the
@@ -186,13 +194,25 @@ def main():
     # per-tile pack. XLA's device transpose to any position-major layout
     # runs ~25x below HBM speed and used to dominate the whole pipeline.
     if pre_staged:
-        from asm_tpu.kernels.greedy_pallas import stage_planes_t
         from asm_tpu.parallel import shard_on_axis
 
         t0 = time.perf_counter()
-        rc_t = stage_planes_t(rc, perm=perm)
-        fc_t = stage_planes_t(fc, perm=perm)
-        print(f"host staging: {time.perf_counter() - t0:.1f}s",
+        if pre_staged == "lanes":
+            # stage the finished hurdle rows (stage_lanes_t): the kernel
+            # skips its whole plane/funnel/validity build — the biggest
+            # slice of its fixed per-tile cost — for 112 B/pair of
+            # streamed input; rows split across the two code inputs
+            from asm_tpu.kernels.greedy_pallas import stage_lanes_t
+
+            lanes_all = stage_lanes_t(rc, rl0, fc, fl0, cfg.k, perm=perm)
+            H = (lanes_all.shape[0] + 1) // 2
+            rc_t, fc_t = lanes_all[:H], lanes_all[H:]
+        else:
+            from asm_tpu.kernels.greedy_pallas import stage_planes_t
+
+            rc_t = stage_planes_t(rc, perm=perm)
+            fc_t = stage_planes_t(fc, perm=perm)
+        print(f"host staging ({layout}): {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
     chunks = []
     for i in range(0, n_pairs, chunk):

