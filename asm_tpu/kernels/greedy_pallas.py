@@ -144,6 +144,13 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
             return rc_ref[idx] if idx < H else fc_ref[idx - H]
 
         r_pl = f_pl = None
+    elif planes == "tiled":
+        # pre_staged="planes_tiled": same plane rows, tile-major block
+        # (one contiguous DMA per grid step)
+        r_pl = ([rc_ref[0, w] for w in range(W)],
+                [rc_ref[0, W + w] for w in range(W)])
+        f_pl = ([fc_ref[0, w] for w in range(W)],
+                [fc_ref[0, W + w] for w in range(W)])
     elif planes:
         # pre_staged="planes": rows ARE the bit-planes (stage_planes_t) —
         # row w = plane0 word w, row W+w = plane1 word w; no pack needed
@@ -609,6 +616,47 @@ def stage_planes_t(codes, perm=None) -> "np.ndarray":
     return out
 
 
+def stage_planes_tiled_t(codes, perm=None) -> "np.ndarray":
+    """Tile-major variant of stage_planes_t: uint32[NBT, L//16, _TILE]
+    (NBT = ceil(B/_TILE), zero-padded tail tile) — each kernel grid
+    step's whole plane block is one contiguous range, which streams ~5x
+    faster than the position-major layout's 2W strided rows per block
+    (measured on the v5e). Consumed by pre_staged="planes_tiled"."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(codes, dtype=np.int8))
+    B, L = arr.shape
+    assert L % 32 == 0
+    W = L // 32
+    NBT = -(-B // _TILE)
+    sw = arr.view(np.uint32)
+    if perm is not None:
+        perm = np.ascontiguousarray(np.asarray(perm, dtype=np.int64))
+        assert perm.shape == (B,)
+    from asm_tpu.native import load_native
+
+    lib = load_native()
+    if lib is not None:
+        import ctypes
+
+        from asm_tpu.utils.hostmem import host_array
+
+        out = host_array((NBT, 2 * W, _TILE), np.uint32)  # mmap zeros
+        pp = (ctypes.c_void_p(perm.ctypes.data) if perm is not None
+              else ctypes.c_void_p(None))
+        lib.asm_stage_planes_tiled_t(sw, pp, B, W, _TILE, out, 0)
+        return out
+    flat = stage_planes_t(codes, perm=perm)  # [2W, B]
+    out = np.zeros((NBT, 2 * W, _TILE), np.uint32)
+    full = flat.reshape(2 * W, -1)
+    nfull = B // _TILE
+    out[:nfull] = full[:, :nfull * _TILE].reshape(
+        2 * W, nfull, _TILE).transpose(1, 0, 2)
+    if B % _TILE:
+        out[nfull, :, :B - nfull * _TILE] = full[:, nfull * _TILE:]
+    return out
+
+
 def stage_lanes_t(read_codes, read_len, ref_codes, ref_len, k: int,
                   perm=None) -> "np.ndarray":
     """Host-side corpus staging for `pre_staged="lanes"`: the fully built
@@ -724,9 +772,27 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
     L = cfg.max_len
     T = cfg.steps_bound
     assert L % 32 == 0
-    planes = "lanes" if pre_staged == "lanes" else (pre_staged == "planes")
+    if pre_staged in ("lanes", "planes_tiled"):
+        planes = {"lanes": "lanes", "planes_tiled": "tiled"}[pre_staged]
+    else:
+        planes = pre_staged == "planes"
 
-    if pre_staged:
+    if pre_staged == "planes_tiled":
+        NBT, rows2, TL_ = read_codes.shape
+        assert rows2 == L // 16 and TL_ == _TILE
+        assert ref_codes.shape == (NBT, rows2, _TILE)
+        assert read_codes.dtype == jnp.uint32
+        B = read_len.shape[0]
+        BP = NBT * _TILE
+        assert B <= BP and BP - B < _TILE
+        if BP > B:
+            zero_l = jnp.zeros((BP - B,), jnp.int32)
+            read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
+            ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
+        NB = BP // 128
+        rc_t = read_codes.reshape(NBT, rows2, _SUB, 128)
+        fc_t = ref_codes.reshape(NBT, rows2, _SUB, 128)
+    elif pre_staged:
         Wq, B = read_codes.shape
         if pre_staged == "lanes":
             NLW = cfg.num_lanes * (L // 32)
@@ -783,20 +849,29 @@ def greedy_align_pallas(read_codes, read_len, ref_codes, ref_len,
     rl_t = read_len.astype(jnp.int32).reshape(NB, 128)
     fl_t = ref_len.astype(jnp.int32).reshape(NB, 128)
 
-    if planes == "lanes":
-        rows_r, rows_f = rc_t.shape[0], fc_t.shape[0]
+    if planes == "tiled":
+        code_specs = [
+            pl.BlockSpec((1, L // 16, _SUB, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 2
     else:
-        rows_r = rows_f = L // 16 if planes else L // 4
+        if planes == "lanes":
+            rows_r, rows_f = rc_t.shape[0], fc_t.shape[0]
+        else:
+            rows_r = rows_f = L // 16 if planes else L // 4
+        code_specs = [
+            pl.BlockSpec((rows_r, _SUB, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_f, _SUB, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     grid = (NB // _SUB,)
     kernel = functools.partial(_greedy_kernel, cfg, planes)
     cost, steps, rec = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows_r, _SUB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_f, _SUB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            *code_specs,
             pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUB, 128), lambda i: (i, 0),

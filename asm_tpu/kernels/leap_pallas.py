@@ -105,7 +105,14 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
             p1.append(a1)
         return p0, p1
 
-    if planes:
+    if planes == "tiled":
+        # pre_staged="planes_tiled": same plane rows, tile-major block
+        # (one contiguous DMA per grid step)
+        r_pl = ([rc_ref[0, w] for w in range(W)],
+                [rc_ref[0, W + w] for w in range(W)])
+        f_pl = ([fc_ref[0, w] for w in range(W)],
+                [fc_ref[0, W + w] for w in range(W)])
+    elif planes:
         # pre_staged="planes": rows ARE the bit-planes (stage_planes_t) —
         # row w = plane0 word w, row W+w = plane1 word w; no pack needed
         r_pl = ([rc_ref[w] for w in range(W)],
@@ -543,9 +550,25 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     E = cfg.leap_energy_bound
     if want_cigar:
         assert L <= 253, "want_cigar byte-packs positions; max_len <= 224"
-    planes = pre_staged == "planes"
+    planes = "tiled" if pre_staged == "planes_tiled" \
+        else pre_staged == "planes"
 
-    if pre_staged:
+    if pre_staged == "planes_tiled":
+        NBT, rows2, TL_ = read_codes.shape
+        assert rows2 == L // 16 and TL_ == _TILE
+        assert ref_codes.shape == (NBT, rows2, _TILE)
+        assert read_codes.dtype == jnp.uint32
+        B = read_len.shape[0]
+        BP = NBT * _TILE
+        assert B <= BP and BP - B < _TILE
+        if BP > B:
+            zero_l = jnp.zeros((BP - B,), jnp.int32)
+            read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
+            ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
+        NB = BP // 128
+        rc_t = read_codes.reshape(NBT, rows2, _SUB, 128)
+        fc_t = ref_codes.reshape(NBT, rows2, _SUB, 128)
+    elif pre_staged:
         Wq, B = read_codes.shape
         assert Wq == (L // 16 if planes else L // 4)
         assert read_codes.dtype == jnp.uint32
@@ -625,14 +648,20 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
         scratch.append(
             pltpu.VMEM(((E + 1) * TL, _SUB, 128), jnp.uint32)  # bt_ref
         )
+    if planes == "tiled":
+        code_spec = pl.BlockSpec((1, L // 16, _SUB, 128),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        code_spec = pl.BlockSpec((code_rows, _SUB, 128),
+                                 lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(NB // _SUB,),
         in_specs=[
-            pl.BlockSpec((code_rows, _SUB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((code_rows, _SUB, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            code_spec,
+            code_spec,
             vec_spec,
             vec_spec,
         ],

@@ -116,6 +116,10 @@ def _configure(lib):
     lib.asm_stage_planes_t.argtypes = [
         u32p, c.c_void_p, c.c_int64, c.c_int32, u32p, c.c_int32,
     ]
+    lib.asm_stage_planes_tiled_t.restype = None
+    lib.asm_stage_planes_tiled_t.argtypes = [
+        u32p, c.c_void_p, c.c_int64, c.c_int32, c.c_int32, u32p, c.c_int32,
+    ]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.asm_stage_lanes_t.restype = None
     lib.asm_stage_lanes_t.argtypes = [

@@ -121,7 +121,12 @@ def make_sharded_greedy(mesh, cfg: AlignConfig, impl: str = "xla",
     """
     axis = mesh.axis_names[0]
     b = P(axis)
-    c = P(None, axis) if pre_staged else b
+    if pre_staged == "planes_tiled":
+        c = P(axis)  # tile-major: batch on the leading (tile) axis
+    elif pre_staged:
+        c = P(None, axis)
+    else:
+        c = b
 
     if impl == "pallas":
         from asm_tpu.kernels.greedy_pallas import greedy_align_pallas

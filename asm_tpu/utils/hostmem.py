@@ -19,7 +19,6 @@ TPU-scale batch pipeline needs.
 from __future__ import annotations
 
 import ctypes
-import weakref
 
 import numpy as np
 
@@ -27,24 +26,40 @@ from asm_tpu.native import load_native
 
 
 def host_array(shape, dtype, nthreads: int = 0) -> np.ndarray:
-    """np.empty(shape, dtype), but hugepage-backed and pre-faulted.
+    """np.empty(shape, dtype), but NOHUGEPAGE-backed and pre-faulted.
 
     Contents start zeroed (fresh anonymous pages). Falls back to
     np.zeros when the native runtime is unavailable.
+
+    The region is a python mmap object so its lifetime follows the
+    BUFFER PROTOCOL: any consumer that exports the buffer (numpy views,
+    jax.device_put's zero-copy CPU path) keeps the memory alive. The
+    previous implementation freed a raw native allocation from a GC
+    finalizer on the wrapping ndarray — jax.device_put with a sharding
+    takes per-shard views without keeping that ndarray referenced, so an
+    inline-staged corpus could be freed MID-TRANSFER (observed as
+    scrambled costs in the sharded planes_tiled path).
     """
+    import mmap
+
     shape = (shape,) if np.isscalar(shape) else tuple(shape)
     dtype = np.dtype(dtype)
     size = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
     lib = load_native()
     if lib is None or size == 0:
         return np.zeros(shape, dtype)
-    ptr = lib.asm_host_alloc(size, nthreads)
-    if not ptr:
-        return np.zeros(shape, dtype)
-    buf = (ctypes.c_char * size).from_address(ptr)
-    arr = np.frombuffer(buf, dtype=dtype).reshape(shape)
-    weakref.finalize(arr, lib.asm_host_free, ptr, size)
-    return arr
+    m = mmap.mmap(-1, size)
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(m))
+    # MADV_NOHUGEPAGE + parallel first-touch (see module docstring)
+    MADV_NOHUGEPAGE = 15
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.madvise(ctypes.c_void_p(addr), ctypes.c_size_t(size),
+                     MADV_NOHUGEPAGE)
+    except Exception:
+        pass
+    lib.asm_prefault(ctypes.c_void_p(addr), size, nthreads)
+    return np.frombuffer(m, dtype=dtype).reshape(shape)
 
 
 def take_rows(src: np.ndarray, perm: np.ndarray) -> np.ndarray:

@@ -54,7 +54,7 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 25))
     impl = os.environ.get("BENCH_IMPL", "pallas")
     err = float(os.environ.get("BENCH_ERR", 0.05))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    reps = int(os.environ.get("BENCH_REPS", 5))
     # 32 bounds the greedy step records (the 67.1M-pair corpus tail needs
     # >=16 steps — a T=16 run trips the truncation assert below); the
     # post-run assertion proves no pair was truncated
@@ -108,13 +108,15 @@ def main():
     perm = None
     chunk_bounds = None
     resort = int(os.environ.get("BENCH_RESORT", 1))
-    # BENCH_LAYOUT: "planes" (default — 2-bit planes, 64 B/pair input;
-    # kernel builds hurdle rows in VMEM) or "lanes" (host-staged finished
-    # hurdle rows, 112 B/pair). Measured on the v5e: lanes is ~22% SLOWER
-    # (459M vs 587M aligns/s) — the kernel is input-bandwidth-bound, so
-    # trading VPU build ops for 1.75x more streamed HBM input loses;
-    # kept as the documented experiment + a correctness path.
-    layout = os.environ.get("BENCH_LAYOUT", "planes")
+    # BENCH_LAYOUT, measured on the v5e at 67M pairs:
+    #   "planes_tiled" (default, 613M aligns/s): 2-bit planes, tile-major
+    #     — each grid step's input block is one contiguous DMA;
+    #   "planes" (587M): same planes position-major — 2W strided rows
+    #     per block stream ~5x slower;
+    #   "lanes" (459M): host-staged finished hurdle rows — the kernel
+    #     skips its build stage but pays 1.75x the input bytes; kept as
+    #     the documented experiment.
+    layout = os.environ.get("BENCH_LAYOUT", "planes_tiled")
     order_cache = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_cache",
         f"stepsort_{n_pairs}_{err}_{chunk}_{max_steps}_v1.npz",
@@ -207,6 +209,11 @@ def main():
             lanes_all = stage_lanes_t(rc, rl0, fc, fl0, cfg.k, perm=perm)
             H = (lanes_all.shape[0] + 1) // 2
             rc_t, fc_t = lanes_all[:H], lanes_all[H:]
+        elif pre_staged == "planes_tiled":
+            from asm_tpu.kernels.greedy_pallas import stage_planes_tiled_t
+
+            rc_t = stage_planes_tiled_t(rc, perm=perm)
+            fc_t = stage_planes_tiled_t(fc, perm=perm)
         else:
             from asm_tpu.kernels.greedy_pallas import stage_planes_t
 
@@ -214,10 +221,21 @@ def main():
             fc_t = stage_planes_t(fc, perm=perm)
         print(f"host staging ({layout}): {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
+    from asm_tpu.kernels.greedy_pallas import _TILE as TILE
+
     chunks = []
     for i in range(0, n_pairs, chunk):
         sl = slice(i, i + chunk)
-        if pre_staged:
+        if pre_staged == "planes_tiled":
+            tsl = slice(i // TILE, (i + chunk) // TILE)
+            (rl_d, fl_d) = shard_batch(mesh, rl[sl], fl[sl])
+            chunks.append((
+                shard_on_axis(mesh, np.ascontiguousarray(rc_t[tsl]), 0),
+                rl_d,
+                shard_on_axis(mesh, np.ascontiguousarray(fc_t[tsl]), 0),
+                fl_d,
+            ))
+        elif pre_staged:
             (rl_d, fl_d) = shard_batch(mesh, rl[sl], fl[sl])
             chunks.append((
                 shard_on_axis(mesh, np.ascontiguousarray(rc_t[:, sl]), 1),

@@ -181,3 +181,36 @@ def test_sharded_greedy_pallas_lanes_matches_xla(corpus):
     np.testing.assert_array_equal(
         np.asarray(out_p["steps"]), np.asarray(out_x["steps"])
     )
+
+
+def test_sharded_greedy_pallas_planes_tiled_matches_xla(corpus):
+    """Tile-major planes (pre_staged='planes_tiled', the fastest-streaming
+    input layout) under shard_map == the sharded XLA kernel."""
+    from asm_tpu.kernels.greedy_pallas import stage_planes_tiled_t
+    from asm_tpu.parallel import shard_on_axis
+
+    cfg = AlignConfig(k=3, max_steps=24)
+    mesh = make_mesh()
+    rc, rl, fc, fl = corpus
+    # pad the batch to mesh.size tiles so each shard is whole tiles
+    from asm_tpu.kernels.greedy_pallas import _TILE
+    reps = (mesh.size * _TILE + len(rl) - 1) // len(rl)
+    rc, rl, fc, fl = (np.concatenate([a] * reps)[: mesh.size * _TILE]
+                      for a in (rc, rl, fc, fl))
+    rl_d, fl_d = shard_batch(mesh, rl, fl)
+    out_p = make_sharded_greedy(
+        mesh, cfg, impl="pallas", want_cigar=False, interpret=True,
+        pre_staged="planes_tiled",
+    )(
+        shard_on_axis(mesh, stage_planes_tiled_t(rc), 0), rl_d,
+        shard_on_axis(mesh, stage_planes_tiled_t(fc), 0), fl_d,
+    )
+    out_x = make_sharded_greedy(mesh, cfg, impl="xla")(
+        *shard_batch(mesh, rc, rl, fc, fl)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_p["cost"]), np.asarray(out_x["cost"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_p["steps"]), np.asarray(out_x["steps"])
+    )

@@ -82,24 +82,27 @@ def main():
         }))
 
     if "leap" in which or "leap_cigar" in which or "leap_gated" in which:
-        from asm_tpu.kernels.greedy_pallas import stage_planes_t
+        from asm_tpu.kernels.greedy_pallas import _TILE
+        from asm_tpu.kernels.greedy_pallas import stage_planes_tiled_t
         from asm_tpu.kernels.leap_pallas import leap_align_pallas
 
         t0 = time.perf_counter()
-        rc_t, fc_t = stage_planes_t(rc), stage_planes_t(fc)
+        rc_t, fc_t = stage_planes_tiled_t(rc), stage_planes_tiled_t(fc)
         print(f"leap staging: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
         chunks = [
-            (jax.device_put(np.ascontiguousarray(rc_t[:, i:i + chunk])),
+            (jax.device_put(np.ascontiguousarray(
+                 rc_t[i // _TILE:(i + chunk) // _TILE])),
              jax.device_put(rl[i:i + chunk]),
-             jax.device_put(np.ascontiguousarray(fc_t[:, i:i + chunk])),
+             jax.device_put(np.ascontiguousarray(
+                 fc_t[i // _TILE:(i + chunk) // _TILE])),
              jax.device_put(fl[i:i + chunk]))
             for i in range(0, n_pairs, chunk)
         ]
 
         if "leap" in which:
             base = jax.jit(functools.partial(leap_align_pallas, cfg=cfg,
-                                             pre_staged="planes"))
+                                             pre_staged="planes_tiled"))
 
             @jax.jit
             def step(a, b, c, d):
@@ -117,7 +120,7 @@ def main():
             ccfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128,
                                leap_max_energy=E)
             cbase = jax.jit(functools.partial(
-                leap_align_pallas, cfg=ccfg, pre_staged="planes",
+                leap_align_pallas, cfg=ccfg, pre_staged="planes_tiled",
                 want_cigar=True))
 
             @jax.jit
@@ -146,7 +149,7 @@ def main():
             gcfg = AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=3,
                                max_len=128)
             gbase = jax.jit(functools.partial(
-                leap_align_pallas, cfg=gcfg, pre_staged="planes",
+                leap_align_pallas, cfg=gcfg, pre_staged="planes_tiled",
                 semantics="simd_ed_lev", use_shd_gate=True))
 
             @jax.jit
