@@ -168,13 +168,23 @@ def run_benchmark(
         import sys
 
         dbg = os.environ.get("ASM_BENCH_DEBUG")
+
+        def reduce_outs(outs):
+            # the python sum's `0 + scalar` promotion add is its own tiny
+            # XLA program — every program the timed region runs must also
+            # run here, or its one-time remote compile (~0.4-0.8 s
+            # through the tunnel) lands inside the FIRST timed pass of
+            # the process (the old sweep's first-section NW rows read up
+            # to 6x slower than identical later sections because of it)
+            return sum(jnp.sum(o, dtype=jnp.int32) for o in outs)
+
         tw = time.perf_counter()
-        _force_scalar(extract(fn(*args_list[0])).sum())
+        _force_scalar(reduce_outs([extract(fn(*args_list[0]))]))
         if dbg:
             print(f"  warm0 {time.perf_counter() - tw:.3f}s",
                   file=sys.stderr)
             tw = time.perf_counter()
-        _force_scalar(extract(fn(*args_list[0])).sum())
+        _force_scalar(reduce_outs([extract(fn(*args_list[0]))]))
         if dbg:
             print(f"  warm1 {time.perf_counter() - tw:.3f}s",
                   file=sys.stderr)
@@ -182,7 +192,13 @@ def run_benchmark(
         t0 = time.perf_counter()
         for args in args_list:
             outs.append(extract(fn(*args)))
-        total = sum(jnp.sum(o, dtype=jnp.int32) for o in outs)
+        if dbg:
+            print(f"  dispatch {time.perf_counter() - t0:.3f}s",
+                  file=sys.stderr)
+        total = reduce_outs(outs)
+        if dbg:
+            print(f"  +reduce {time.perf_counter() - t0:.3f}s",
+                  file=sys.stderr)
         _force_scalar(total)
         dt = time.perf_counter() - t0
         return dt, [np.asarray(o)[:n] for o, n in zip(outs, sizes)]

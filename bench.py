@@ -45,11 +45,11 @@ def main():
     )
     # 67.1M pairs in two 33.6M chunks: back-to-back dispatches pipeline,
     # so the ~25-30 ms axon tunnel latency is paid once, not per chunk,
-    # and big chunks amortize per-dispatch overhead (measured, planes
-    # layout: 296M aligns/s at 33.6M/4x8.4M, 263M at 67M/8x8.4M, 488M at
-    # 67M/4x16.8M, 490M at 67M/2x33.6M — stable at 0.137s/rep). Staged
-    # 2-bit-plane inputs (4.3 GB) + per-chunk step-record temps (4.4 GB,
-    # transient) + one rep's cost/steps fit v5e HBM with room.
+    # and big chunks amortize per-dispatch overhead (2x33.6M beats both
+    # 4x16.8M and 8x8.4M; measured round 3 with the tiled layout +
+    # steps-order cache: 587-613M aligns/s at 0.109-0.115 s/rep). Staged
+    # 2-bit-plane inputs (4.3 GB) + per-chunk step-record temps (int16,
+    # ~2 GB, transient) + one rep's cost/steps fit v5e HBM with room.
     n_pairs = int(os.environ.get("BENCH_PAIRS", 1 << 26))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 25))
     impl = os.environ.get("BENCH_IMPL", "pallas")
