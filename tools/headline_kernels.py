@@ -54,6 +54,22 @@ def main():
     rc, rl, fc, fl = got
     print(f"corpus ready: {n_pairs} pairs", file=sys.stderr)
 
+    # difficulty-ordered scheduling, as in bench.py: LEAP tiles exit at
+    # their own max energy, so grouping similar pairs stops every tile
+    # paying the corpus-wide worst case (~46 energy levels in the tail).
+    # Untimed corpus prep; all reported sums are permutation-invariant.
+    # HK_SORT=0 disables.
+    perm = None
+    if int(os.environ.get("HK_SORT", 1)):
+        from asm_tpu.parallel import difficulty_order
+        from asm_tpu.utils.hostmem import take_rows
+
+        t0 = time.perf_counter()
+        perm = difficulty_order(rc, rl, fc, fl)
+        rl, fl = take_rows(rl, perm), take_rows(fl, perm)
+        print(f"difficulty sort: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
     def run(name, step, chunks, reduce_ix):
         t0 = time.perf_counter()
         for c in chunks:
@@ -87,7 +103,8 @@ def main():
         from asm_tpu.kernels.leap_pallas import leap_align_pallas
 
         t0 = time.perf_counter()
-        rc_t, fc_t = stage_planes_tiled_t(rc), stage_planes_tiled_t(fc)
+        rc_t = stage_planes_tiled_t(rc, perm=perm)
+        fc_t = stage_planes_tiled_t(fc, perm=perm)
         print(f"leap staging: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
         chunks = [
@@ -170,7 +187,8 @@ def main():
         # copies), which is what lifts the old 2M-pair chunk cap
         nw_chunk = int(os.environ.get("HK_NW_CHUNK", chunk))
         t0 = time.perf_counter()
-        rc_t, fc_t = stage_planes_t(rc), stage_planes_t(fc)
+        rc_t = stage_planes_t(rc, perm=perm)  # rl/fl already permuted
+        fc_t = stage_planes_t(fc, perm=perm)
         print(f"nw staging: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
 
