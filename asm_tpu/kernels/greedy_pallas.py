@@ -60,8 +60,12 @@ OP_M = 5
 OP_I = 3
 OP_D = 4
 
-_TILE = 2048  # pairs per grid step: [_SUB, 128] (4096 is ~1% faster but
-              # doubles VMEM pressure; 2048 leaves headroom at T=128)
+import os as _os
+
+# pairs per grid step: [_SUB, 128]. 2048 default; ASM_GREEDY_TILE=4096
+# doubles the block (bigger contiguous DMAs with the tiled layout, more
+# VMEM pressure) — an experiment knob, read once at import.
+_TILE = int(_os.environ.get("ASM_GREEDY_TILE", 2048))
 _SUB = _TILE // 128
 FULL = 0xFFFFFFFF
 
