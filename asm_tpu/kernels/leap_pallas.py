@@ -30,7 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from asm_tpu.config import AlignConfig, LeapMode
 
-_TILE = 2048
+import os as _os
+
+# pairs per grid step; ASM_LEAP_TILE=4096 doubles the block (bigger
+# contiguous DMAs with the tiled layout; want_cigar's VMEM history may
+# not fit at 4096 with large leap_energy_bound — keep 2048 there)
+_TILE = int(_os.environ.get("ASM_LEAP_TILE", 2048))
 _SUB = _TILE // 128
 UNREACHED = -2
 BIG = 1 << 29
