@@ -15,9 +15,10 @@ leaves the band needs a gap run longer than KB, costing >= o + KB*e.
 Hence if the banded penalty satisfies pen < o + KB*e, no out-of-band
 path can beat it and the banded result equals the full NW penalty
 (Ukkonen's band argument). `nw_penalty_auto` runs the cascade
-BW=32 -> BW=64 -> full kernel as one jitted device-side program
-(lax.cond skips unneeded stages) and is bit-equal to nw_penalty by
-construction (pinned by tests).
+BW=16 -> 32 -> 64 -> full kernel as one jitted device-side program
+(lax.cond skips unneeded stages; the cold stages are lax.map
+sub-batched so their temp arenas stay small) and is bit-equal to
+nw_penalty by construction (pinned by tests).
 
 Parity: cell (d, k) exists only when d + k is even. Lanes of the wrong
 parity compute garbage "cells", but a valid cell's dependencies
@@ -412,26 +413,46 @@ def nw_penalty_auto(read_codes, read_len, ref_codes, ref_len,
                     interpret: bool = False, pre_staged: bool = False):
     """Exact NW penalty via the banded cascade (bit-equal to nw_penalty).
 
-    Fully jittable and device-resident: runs BW=32 on everything (4
-    pairs per register row, ~3x the full kernel's throughput); iff any
-    pair is uncertified, a lax.cond branch re-runs the whole batch at
-    BW=64 (still 2x), and a nested cond sends a still-uncertified
-    residue to the full wavefront kernel. Whole-batch re-runs beat
-    host-side uncertified-subset slicing by a wide margin here: the
-    band-64 pass costs ~0.26 s/M pairs on a v5e, while one host
-    round-trip of the inputs costs ~2 s/M through the axon tunnel, and
-    lax.cond skips the extra stages entirely on the (benchmark-typical)
-    fully-certified batches. Measured certification on the reference
-    corpus profile: 100% at err<=0.10 with BW=32; 100% at err<=0.20 with
-    BW=64. Matches the reference's exact-oracle role (parasail in
-    benchmark_utils.h:130-150).
+    Fully jittable and device-resident: runs BW=16 on everything (8
+    pairs per register row); iff any pair is uncertified, lax.cond
+    branches re-run the batch at BW=32, then BW=64 (sub-batched via
+    _map_subbatches so cold branches don't reserve HBM temp arena), and
+    a final cond sends a still-uncertified residue to the full wavefront
+    kernel. Whole-batch re-runs beat host-side uncertified-subset
+    slicing by a wide margin here: one host round-trip of the inputs
+    costs ~2 s/M pairs through the axon tunnel, and lax.cond skips the
+    extra stages entirely on fully-certified batches. Measured
+    certification on the reference corpus profile: 100% at err=0.05
+    with BW=16 (exactly ceil(L*rate) unit-cost edits per pair, so
+    pen <= 5 < o + 7e); 100% at err<=0.10 with BW=32; 100% at
+    err<=0.20 with BW=64. Matches the reference's exact-oracle role
+    (parasail in benchmark_utils.h:130-150).
     """
     args = (read_codes, read_len, ref_codes, ref_len)
-    p32 = nw_penalty_banded(*args, bw=32, x=x, o=o, e=e,
+    # BW=16 first: 8 pairs per register row, certificate pen < o + 7e —
+    # at the benchmark's err=0.05 (exactly 5 unit-cost edits per pair,
+    # so pen <= 5) it certifies the ENTIRE corpus at ~half the BW=32
+    # stage's vector work
+    p16 = nw_penalty_banded(*args, bw=16, x=x, o=o, e=e,
                             interpret=interpret, pre_staged=pre_staged)
-    c32 = band_certified(p32, 32, o, e)
+    c16 = band_certified(p16, 16, o, e)
 
-    def stage64(_):
+    def stage32(_):
+        # sub-batched: cold on fully-certified batches, and its mismatch
+        # planes would otherwise sit in the temp arena next to BW=16's
+        p32 = _map_subbatches(
+            lambda rcc, rlc, fcc, flc: nw_penalty_banded(
+                rcc, rlc, fcc, flc, bw=32, x=x, o=o, e=e,
+                interpret=interpret, pre_staged=pre_staged),
+            *args, fb=1 << 21, pre_staged=pre_staged,
+        )
+        c32 = band_certified(p32, 32, o, e)
+        m32 = jnp.where(c16, p16, p32)
+        c32m = c16 | c32
+        return jax.lax.cond(jnp.all(c32m), lambda _: m32,
+                            functools.partial(stage64, m32, c32m), 0)
+
+    def stage64(m32, c32m, _):
         # sub-batched (see _map_subbatches): this branch is cold on the
         # benchmark-typical corpus, but its BW=64 mismatch planes would
         # otherwise reserve 2 KB/pair of HBM temp arena regardless
@@ -442,7 +463,7 @@ def nw_penalty_auto(read_codes, read_len, ref_codes, ref_len,
             *args, fb=1 << 20, pre_staged=pre_staged,
         )
         c64 = band_certified(p64, 64, o, e)
-        m64 = jnp.where(c32, p32, p64)
+        m64 = jnp.where(c32m, m32, p64)
 
         def stage_full(_):
             def one(rcc, rlc, fcc, flc):
@@ -457,8 +478,8 @@ def nw_penalty_auto(read_codes, read_len, ref_codes, ref_len,
 
             pf = _map_subbatches(one, *args, fb=1 << 18,
                                  pre_staged=pre_staged)
-            return jnp.where(c32 | c64, m64, pf)
+            return jnp.where(c32m | c64, m64, pf)
 
         return jax.lax.cond(jnp.all(c64), lambda _: m64, stage_full, 0)
 
-    return jax.lax.cond(jnp.all(c32), lambda _: p32, stage64, 0)
+    return jax.lax.cond(jnp.all(c16), lambda _: p16, stage32, 0)
