@@ -149,3 +149,18 @@ def test_pallas_simd_ed_matches_xla(lev, shd):
                                   np.asarray(p["passed"]))
     np.testing.assert_array_equal(np.asarray(x["penalty"]),
                                   np.asarray(p["penalty"]))
+
+
+def test_pallas_filter_L256_matches_fresh_simd_ed():
+    """The filter CLI's actual config (max_len=256, pallas impl, gate
+    in-kernel): exercises the W=8 lane words and the error==0 BEG row's
+    cleared bit 255 (shd_ref.DEFAULT_OOB_ROW) at full register width."""
+    k = 3
+    reads, refs = generate_dataset(64, 100, 0.05, 0.96, seed=67)
+    cfg = AlignConfig(x=1, o=1, e=1, k=k, leap_af_threshold=k,
+                      leap_mode=LeapMode.GLOBAL, max_len=256)
+    step = make_filter_step(cfg, True, True, impl="pallas", interpret=True)
+    got = np.asarray(step(*map(jnp.asarray,
+                               encode_batch(reads, refs, 256))))
+    for i, (a, b) in enumerate(zip(reads, refs)):
+        assert bool(got[i]) == _fresh(a, b, k, 1, True)[0], i
