@@ -18,7 +18,8 @@ A ring buffer of the last R = max(go, ge, ms)+1 energy rows replaces the
 full [TL, E+1] history on the filter path; want_history=True widens the
 ring to the full history for leap_backtrack (the benchmark path never
 needs it — LEAP CIGARs are not scored, benchmark_utils.h:256). The fused
-TPU kernel lives in asm_tpu.kernels.leap_pallas (filter path only).
+TPU kernel lives in asm_tpu.kernels.leap_pallas (including a fused
+in-kernel backtrack for CIGARs — want_cigar).
 
 Semantics follow asm_tpu.reference_impl.leap_ref (fresh per-pair state and
 deterministic padding — see its docstring for the reference's state-leak
