@@ -288,11 +288,18 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
         ok_ge = e >= ge
         ok_ms = e >= ms
 
-        # read previous rows (lane-shifted accesses are static unrolls)
-        end_go = [hist_ref[0, r_go, l] for l in range(TL)]
-        i_ge = [hist_ref[1, r_ge, l] for l in range(TL)]
-        d_ge = [hist_ref[2, r_ge, l] for l in range(TL)]
-        end_ms = [hist_ref[0, r_ms, l] for l in range(TL)]
+        # read previous rows (lane-shifted accesses are static unrolls);
+        # border lanes are never written past init, so their rows are the
+        # UNREACHED constant — letting the edge-interior lanes' I/D
+        # recurrences constant-fold at trace time
+        def rows(plane, r):
+            return [unreached if l in (0, TL - 1) else hist_ref[plane, r, l]
+                    for l in range(TL)]
+
+        end_go = rows(0, r_go)
+        i_ge = rows(1, r_ge)
+        d_ge = rows(2, r_ge)
+        end_ms = rows(0, r_ms)
 
         new_end, new_i, new_d, new_start = [], [], [], []
         conv = []
@@ -384,9 +391,10 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
         st_ref[1] = jnp.where(fresh, pen_now, st_ref[1])
         st_ref[2] = jnp.where(fresh, lane_now, st_ref[2])
 
-        # freeze history of already-passed pairs
+        # freeze history of already-passed pairs (border lanes hold the
+        # UNREACHED constant forever — no write needed)
         r = e % R
-        for l in range(TL):
+        for l in range(1, TL - 1):
             old_e = hist_ref[0, r, l]
             old_i = hist_ref[1, r, l]
             old_d = hist_ref[2, r, l]
