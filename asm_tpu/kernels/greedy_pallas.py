@@ -249,10 +249,15 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
 
     # ---- packed-word queries -------------------------------------------
     def count_range(words, lo, hi, lo_masks=None):
-        lo_masks = lo_masks if lo_masks is not None else masks_ge(lo)
+        # lo_masks="full" = mask_ge(0) (all-ones): skip the lo AND entirely
         cnt = jnp.zeros(shape, jnp.int32)
         for w in range(W):
-            msk = lo_masks[w] & ~mask_ge(hi, w)
+            hi_m = ~mask_ge(hi, w)
+            if isinstance(lo_masks, str):
+                msk = hi_m
+            else:
+                lm = lo_masks[w] if lo_masks is not None else mask_ge(lo, w)
+                msk = lm & hi_m
             cnt = cnt + jax.lax.population_count(words[w] & msk).astype(
                 jnp.int32
             )
@@ -294,49 +299,69 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
     # ("invalid relayout: replicated destination"), scratch refs dodge it.
     # st_ref rows: 0 cur_lane, 1 cur_col, 2 cost, 3 done, 4 steps
     # lane_ref planes: [0, NL) sp, [NL, 2NL) hlen, [2NL, 3NL) nsw
-    st_ref[0] = zero
-    st_ref[1] = zero
-    st_ref[2] = zero
-    st_ref[3] = zero
-    st_ref[4] = zero
-    for li in range(NL):
-        lane_ref[li] = zero - 1            # sp = -1
-        lane_ref[NL + li] = zero           # hlen = 0
-        lane_ref[2 * NL + li] = zero + L   # nsw = L
+    #
+    # Iteration 0 is PEELED (step(0, first=True) below): the initial state
+    # is static — cur_lane=0, cur_col=0, sp=-1, done=false — so start_col
+    # is 0 for every lane and the masks_ge(sc) chains, the u = den | ~mge
+    # row builds, the sfc()s, and every rc_/act select constant-fold away
+    # (~50 vector ops/lane, the bulk of the "first sweep" fixed cost the
+    # A/B probes blamed). The while_loop then starts at it=1 with state in
+    # the scratch refs, exactly as the unpeeled loop would have left it.
 
     def cond(it):
         pending = jnp.sum(1 - st_ref[3])
         return (it < T) & (pending > 0)
 
-    def body(it):
-        cur_lane = st_ref[0]
-        cur_col = st_ref[1]
-        cost = st_ref[2]
-        done = st_ref[3] != 0
-        steps = st_ref[4]
-        sp = [lane_ref[li] for li in range(NL)]
-        hlen = [lane_ref[NL + li] for li in range(NL)]
-        nsw = [lane_ref[2 * NL + li] for li in range(NL)]
-        act = ~done
+    def step(it, first):
+        if first:
+            # static initial state: every read below folds at trace time
+            cur_lane = zero
+            cur_col = zero
+            cost = zero
+            done = jnp.zeros(shape, jnp.bool_)
+            steps = zero
+        else:
+            cur_lane = st_ref[0]
+            cur_col = st_ref[1]
+            cost = st_ref[2]
+            done = st_ref[3] != 0
+            steps = st_ref[4]
+            sp = [lane_ref[li] for li in range(NL)]
+            hlen = [lane_ref[NL + li] for li in range(NL)]
+            nsw = [lane_ref[2 * NL + li] for li in range(NL)]
+            act = ~done
 
         # ---- _update_highway_list ----
         start_col = []
         sc_masks = []  # mask_ge(start_col) per lane, shared by 3 queries
-        sp_n, hlen_n, nsw_n = list(sp), list(hlen), list(nsw)
+        if first:
+            sp_n = [None] * NL
+            hlen_n = [None] * NL
+            nsw_n = [None] * NL
+        else:
+            sp_n, hlen_n, nsw_n = list(sp), list(hlen), list(nsw)
         reaching = jnp.zeros(shape, jnp.bool_)
         for li in range(NL):
             lane = li - k
-            sc = cur_col + sfc(cur_lane, lane)
-            rc_ = (sp[li] < sc) & act
-            mge_sc = masks_ge(sc)
-            sc_masks.append(mge_sc)
-            # fused first_zero + next first_one in ONE pass over the row:
-            # u = den with every bit below sc forced to 1, so u's trailing
-            # ones run exactly through fz-1 (den bits in [sc, fz) are all
-            # ones by fz's definition). The multiword increment u+1 clears
-            # that run, hence u & (u+1) = den restricted to bits > fz —
-            # the second query's operand without building masks_ge(fz).
-            u = [den[li][w] | ~mge_sc[w] for w in range(W)]
+            if first:
+                # sc = 0 + sfc(0, lane) = 0; masks_ge(0) is all-ones, so
+                # u = den and count_range needs no lo mask ("full")
+                sc = zero
+                sc_masks.append("full")
+                u = den[li]
+            else:
+                sc = cur_col + sfc(cur_lane, lane)
+                rc_ = (sp[li] < sc) & act
+                mge_sc = masks_ge(sc)
+                sc_masks.append(mge_sc)
+                # fused first_zero + next first_one in ONE pass over the
+                # row: u = den with every bit below sc forced to 1, so u's
+                # trailing ones run exactly through fz-1 (den bits in
+                # [sc, fz) are all ones by fz's definition). The multiword
+                # increment u+1 clears that run, hence u & (u+1) = den
+                # restricted to bits > fz — the second query's operand
+                # without building masks_ge(fz).
+                u = [den[li][w] | ~mge_sc[w] for w in range(W)]
             fz = jnp.full(shape, L, jnp.int32)
             for w in range(W):
                 nu = ~u[w]  # = ~den & mask_ge(sc)
@@ -350,22 +375,34 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
                 v_w = u[w] & s_w
                 idx = 32 * w + _ctz32(v_w)
                 no_g = jnp.minimum(no_g, jnp.where(v_w == 0, L, idx))
-            sp_new = jnp.where(sc > L, sc, fz)
+            sp_new = fz if first else jnp.where(sc > L, sc, fz)
             raw_len = jnp.where((sp_new >= L) | (no_g >= L), L, no_g - sp_new)
             clamp = sp_new + raw_len > dest[li]
             len_new = jnp.where(
                 clamp, jnp.maximum(dest[li] - sp_new, 0), raw_len
             )
-            sp_n[li] = jnp.where(rc_, sp_new, sp[li])
-            hlen_n[li] = jnp.where(rc_, len_new, hlen[li])
-            nsw_n[li] = jnp.where(rc_, jnp.abs(lane - cur_lane), nsw[li])
-            reaching = reaching | (rc_ & clamp)
+            if first:
+                # rc_ = (sp=-1 < sc=0) & act(all) = true: unconditional
+                sp_n[li] = sp_new
+                hlen_n[li] = len_new
+                nsw_n[li] = jnp.full(shape, abs(lane), jnp.int32)
+                reaching = reaching | clamp
+            else:
+                sp_n[li] = jnp.where(rc_, sp_new, sp[li])
+                hlen_n[li] = jnp.where(rc_, len_new, hlen[li])
+                nsw_n[li] = jnp.where(rc_, jnp.abs(lane - cur_lane), nsw[li])
+                reaching = reaching | (rc_ & clamp)
             start_col.append(sc)
 
         swc, hc, nhur = [], [], []
         for li in range(NL):
             lane = li - k
-            if is_global:
+            if first:
+                # slp(0, lane) is a trace-time constant; the non-global
+                # branch zeroes it at it==0 anyway
+                pen = 0 if lane == 0 else o + e * (abs(lane) - 1)
+                sc_pen = zero + (pen if is_global else 0)
+            elif is_global:
                 sc_pen = slp(cur_lane, lane)
             else:
                 sc_pen = jnp.where(it == 0, 0, slp(cur_lane, lane))
@@ -455,15 +492,20 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
         len_c = pick2(hlen_n)
         swc_c = pick2(swc)
         hc_c = pick2(hc)
-        move = act & valid
+        move = valid if first else act & valid
 
         cost = cost + jnp.where(move, swc_c + hc_c, 0)
-        distance = sp_c + len_c - (cur_col + sfc(cur_lane, bl_lane))
+        if first:
+            # cur_col = 0 and sfc(0, bl_lane) = 0
+            distance = sp_c + len_c
+            dl = bl_lane
+        else:
+            distance = sp_c + len_c - (cur_col + sfc(cur_lane, bl_lane))
+            dl = bl_lane - cur_lane
 
         # step record: bit 0 = final-leap flag (0 here), bits 1-7 the lane
         # delta biased +64 (nonzero for every move record since |dl| <=
         # 2k <= 62), bits 8+ the match advance
-        dl = bl_lane - cur_lane
         packed = jnp.where(move, ((dl + 64) << 1) | (distance << 8), 0)
         rec_ref[pl.ds(it, 1)] = packed.astype(rec_dt)[None]
 
@@ -472,7 +514,10 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
         dest_new = zero
         for li in range(NL):
             dest_new = jnp.where(new_lane + k == li, dest[li], dest_new)
-        done = done | (act & ~valid) | (move & (new_col >= dest_new))
+        if first:
+            done = ~valid | (move & (new_col >= dest_new))
+        else:
+            done = done | (act & ~valid) | (move & (new_col >= dest_new))
 
         st_ref[0] = new_lane
         st_ref[1] = new_col
@@ -485,7 +530,24 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
             lane_ref[2 * NL + li] = nsw_n[li]
         return it + 1
 
-    it = jax.lax.while_loop(cond, body, jnp.int32(0))
+    def body(it):
+        return step(it, False)
+
+    if T >= 1:
+        # peeled iteration 0: the unpeeled loop ALWAYS ran it (done is
+        # all-false at init so cond(0) holds whenever T >= 1), and it
+        # leaves the scratch refs exactly as step(0, False) would
+        step(0, True)
+        it = jax.lax.while_loop(cond, body, jnp.int32(1))
+    else:
+        # T == 0: no greedy steps at all; the post-loop reads still need
+        # initialized state
+        st_ref[0] = zero
+        st_ref[1] = zero
+        st_ref[2] = zero
+        st_ref[3] = zero
+        st_ref[4] = zero
+        it = jnp.int32(0)
     cur_lane = st_ref[0]
     cur_col = st_ref[1]
     cost = st_ref[2]

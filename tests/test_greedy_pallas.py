@@ -39,6 +39,17 @@ def test_pallas_other_penalties():
     _compare(corpus, cfg)
 
 
+@pytest.mark.parametrize("bound", [1, 2])
+def test_pallas_tiny_steps_bound(bound):
+    # exercises the peeled iteration 0 (kernel): bound=1 runs ONLY the
+    # peeled step (the while_loop body never executes), bound=2 runs the
+    # peel plus exactly one loop iteration; both must truncate exactly
+    # like the XLA path (final leap from the truncated state included)
+    cfg = AlignConfig(max_steps=bound)
+    corpus = generate_dataset_arrays(32, 100, 0.1, 0.9, seed=17)
+    _compare(corpus, cfg)
+
+
 def test_pallas_want_cigar_false():
     cfg = AlignConfig(max_steps=24)
     corpus = generate_dataset_arrays(16, 100, 0.1, seed=9)
