@@ -53,6 +53,13 @@ def main(argv=None):
     cost = int(np.asarray(out["cost"])[0])
     print(f"CIGAR: {cigar}")
     print(f"total cost: {cost}")
+    # aligned string pair, like the reference's -DDISPLAY echo
+    # (_update_match, hurdle_matrix.h:204-228 / main run print :591-594)
+    from asm_tpu.ops.cigar import aligned_strings
+
+    a_row, b_row = aligned_strings(read, ref, cigar)
+    print(f"read: {a_row}")
+    print(f"ref:  {b_row}")
     lcm = long_consecutive_matching_substring(read, ref, cigar, 3)
     print(f"LCM (threshold 3): {lcm}")
 

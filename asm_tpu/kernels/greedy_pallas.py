@@ -68,6 +68,10 @@ import os as _os
 _TILE = int(_os.environ.get("ASM_GREEDY_TILE", 2048))
 _SUB = _TILE // 128
 FULL = 0xFFFFFFFF
+# count_range sentinel: "the lo bound is 0, skip the lo AND entirely"
+# (a dedicated object compared with `is` so a typo can never silently
+# drop the bound the way a stray string would)
+_FULL_MASK = object()
 
 
 def _ctz32(w):
@@ -249,11 +253,11 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
 
     # ---- packed-word queries -------------------------------------------
     def count_range(words, lo, hi, lo_masks=None):
-        # lo_masks="full" = mask_ge(0) (all-ones): skip the lo AND entirely
+        # lo_masks=_FULL_MASK = mask_ge(0) (all-ones): skip the lo AND
         cnt = jnp.zeros(shape, jnp.int32)
         for w in range(W):
             hi_m = ~mask_ge(hi, w)
-            if isinstance(lo_masks, str):
+            if lo_masks is _FULL_MASK:
                 msk = hi_m
             else:
                 lm = lo_masks[w] if lo_masks is not None else mask_ge(lo, w)
@@ -345,9 +349,9 @@ def _greedy_kernel(cfg: AlignConfig, planes: bool, rc_ref, fc_ref, rl_ref,
             lane = li - k
             if first:
                 # sc = 0 + sfc(0, lane) = 0; masks_ge(0) is all-ones, so
-                # u = den and count_range needs no lo mask ("full")
+                # u = den and count_range needs no lo mask (_FULL_MASK)
                 sc = zero
-                sc_masks.append("full")
+                sc_masks.append(_FULL_MASK)
                 u = den[li]
             else:
                 sc = cur_col + sfc(cur_lane, lane)

@@ -62,3 +62,36 @@ def batch_greedy_cigars(result: dict) -> list[str]:
 def batch_nw_cigars(ops: np.ndarray) -> list[str]:
     ops = np.asarray(ops)
     return [ops_to_cigar(ops[b]) for b in range(ops.shape[0])]
+
+
+def aligned_strings(read: str, ref: str, cigar: str) -> tuple[str, str]:
+    """Reconstruct the DISPLAY-style aligned string pair from a CIGAR.
+
+    Mirrors the reference's #ifdef DISPLAY match-string upkeep
+    (_update_match, GASMA/hurdle_matrix.h:204-228): an 'I' run consumes
+    read characters against '-' gaps in the ref row, a 'D' run the
+    reverse, and 'M'/'='/'X' runs consume one character from each.
+    Returns (read_row, ref_row) of equal length; any read/ref suffix the
+    CIGAR never reaches is left off (exactly what the reference's
+    A_match/B_match buffers hold when the walk stops).
+    """
+    import re
+
+    a_row, b_row = [], []
+    ai = bi = 0
+    for count, op in re.findall(r"(\d+)([MIDX=])", cigar):
+        r = int(count)
+        if op == "I":
+            a_row.append(read[ai:ai + r])
+            b_row.append("-" * r)
+            ai += r
+        elif op == "D":
+            a_row.append("-" * r)
+            b_row.append(ref[bi:bi + r])
+            bi += r
+        else:  # M / = / X
+            a_row.append(read[ai:ai + r])
+            b_row.append(ref[bi:bi + r])
+            ai += r
+            bi += r
+    return "".join(a_row), "".join(b_row)

@@ -26,9 +26,13 @@ def _compare(corpus, cfg):
     assert batch_greedy_cigars(got) == batch_greedy_cigars(ref)
 
 
+@pytest.mark.parametrize("atype",
+                         [AlignmentType.GLOBAL, AlignmentType.SEMI_GLOBAL])
 @pytest.mark.parametrize("err,mr", [(0.05, 0.96), (0.2, 0.96), (0.4, 0.5)])
-def test_pallas_matches_xla(err, mr):
-    cfg = AlignConfig(max_steps=24)
+def test_pallas_matches_xla(err, mr, atype):
+    # SEMI_GLOBAL exercises the kernel's non-global constant folds (the
+    # first-step sc_pen fold in the peeled iteration)
+    cfg = AlignConfig(max_steps=24, alignment_type=atype)
     corpus = generate_dataset_arrays(48, 100, err, mr, seed=int(err * 100))
     _compare(corpus, cfg)
 
@@ -39,13 +43,17 @@ def test_pallas_other_penalties():
     _compare(corpus, cfg)
 
 
+@pytest.mark.parametrize("atype",
+                         [AlignmentType.GLOBAL, AlignmentType.SEMI_GLOBAL])
 @pytest.mark.parametrize("bound", [1, 2])
-def test_pallas_tiny_steps_bound(bound):
+def test_pallas_tiny_steps_bound(bound, atype):
     # exercises the peeled iteration 0 (kernel): bound=1 runs ONLY the
     # peeled step (the while_loop body never executes), bound=2 runs the
     # peel plus exactly one loop iteration; both must truncate exactly
-    # like the XLA path (final leap from the truncated state included)
-    cfg = AlignConfig(max_steps=bound)
+    # like the XLA path (final leap from the truncated state included).
+    # SEMI_GLOBAL pins the peel's lane-switch constant fold
+    # (greedy_pallas sc_pen at step 0 is free only in SEMI_GLOBAL).
+    cfg = AlignConfig(max_steps=bound, alignment_type=atype)
     corpus = generate_dataset_arrays(32, 100, 0.1, 0.9, seed=17)
     _compare(corpus, cfg)
 

@@ -32,3 +32,44 @@ def test_corpus_cache_roundtrip(tmp_path):
     # parameter mismatch -> regenerate signal
     assert load_corpus(path, n=64, err=0.1) is None
     assert load_corpus(str(tmp_path / "missing.npz"), n=32) is None
+
+
+def test_aligned_strings_reconstruction():
+    """DISPLAY-style aligned pair decode (hurdle_matrix.h:204-228):
+    I consumes read vs '-' in ref, D the reverse, M both; the rows must
+    always be equal length and strip back to the consumed prefixes."""
+    from asm_tpu.ops.cigar import aligned_strings
+
+    a, b = aligned_strings("ACGTAC", "ACTAC", "2M1I3M")
+    assert a == "ACGTAC"
+    assert b == "AC-TAC"
+    a, b = aligned_strings("ACTAC", "ACGTAC", "2M1D3M")
+    assert a == "AC-TAC"
+    assert b == "ACGTAC"
+    # mixed ops incl. X/= synonyms; unreached suffixes stay off
+    a, b = aligned_strings("AAACCC", "AAGCC", "2=1X1I2M")
+    assert a == "AAACCC"
+    assert b == "AAG-CC"
+    assert len(a) == len(b)
+
+
+def test_aligned_strings_match_greedy_kernel():
+    """Every M/I/D count in a real greedy CIGAR must be consistent: the
+    reconstruction consumes exactly the characters the kernel aligned."""
+    import jax.numpy as jnp
+
+    from asm_tpu.config import AlignConfig
+    from asm_tpu.data.generator import generate_dataset
+    from asm_tpu.encoding import encode_batch
+    from asm_tpu.kernels.greedy import greedy_align
+    from asm_tpu.ops.cigar import aligned_strings, batch_greedy_cigars
+
+    cfg = AlignConfig(max_steps=24)
+    reads, refs = generate_dataset(16, 80, 0.1, 0.8, seed=23)
+    rc, rl, fc, fl = map(jnp.asarray, encode_batch(reads, refs, cfg.max_len))
+    out = greedy_align(rc, rl, fc, fl, cfg)
+    for read, ref, cigar in zip(reads, refs, batch_greedy_cigars(out)):
+        a, b = aligned_strings(read, ref, cigar)
+        assert len(a) == len(b)
+        assert a.replace("-", "") == read[: len(a.replace("-", ""))]
+        assert b.replace("-", "") == ref[: len(b.replace("-", ""))]
