@@ -518,15 +518,45 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
     rec_ref[0] = jnp.where(passed_v, term, 0)
 
 
+def leap_cigar_vmem_bytes(cfg: AlignConfig, tile: int) -> int:
+    """VMEM bytes the want_cigar kernel needs per grid step: the packed
+    backtrack history + rec output block scale with (E+1) * tile, which is
+    what caps the fused path's energy bound at a given tile size."""
+    TL = cfg.leap_total_lanes
+    R = max(cfg.o, cfg.e, cfg.x) + 1
+    E = cfg.leap_energy_bound
+    per128 = 4 * 128 * (
+        (E + 1) * (TL + 1)     # bt_ref history + rec output block
+        + 3 * R * TL           # hist ring
+        + 7 + 3 + 2            # st rows, out blocks, len blocks
+        + 2 * (cfg.max_len // 16)  # two code plane blocks
+    )
+    return per128 * (tile // 128)
+
+
+def leap_cigar_tile(cfg: AlignConfig, max_tile: int | None = None,
+                    vmem_budget: int = 12 << 20) -> int | None:
+    """Largest power-of-two grid tile (>= 256) whose want_cigar VMEM
+    scratch fits `vmem_budget` (~16 MB/core minus headroom), or None if
+    even 256 does not fit (fall back to the XLA history path)."""
+    t = max_tile if max_tile is not None else _TILE
+    while t >= 256:
+        if leap_cigar_vmem_bytes(cfg, t) <= vmem_budget:
+            return t
+        t //= 2
+    return None
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "interpret", "pre_staged", "want_cigar",
-                              "semantics", "use_shd_gate")
+                              "semantics", "use_shd_gate", "tile")
 )
 def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
                       cfg: AlignConfig, interpret: bool = False,
                       pre_staged: bool = False, want_cigar: bool = False,
                       semantics: str = "lv_bag",
-                      use_shd_gate: bool = False):
+                      use_shd_gate: bool = False,
+                      tile: int | None = None):
     """Drop-in replacement for leap_align (passed / penalty / lane_shift).
 
     want_cigar=True additionally runs the BACKTRACK inside the kernel
@@ -565,27 +595,37 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
         assert L <= 253, "want_cigar byte-packs positions; max_len <= 224"
     planes = "tiled" if pre_staged == "planes_tiled" \
         else pre_staged == "planes"
+    # grid tile: `tile` overrides the module default — want_cigar VMEM
+    # scratch scales with (E+1) * tile, so high-energy CIGAR passes run
+    # smaller tiles (leap_cigar_tile picks the largest that fits)
+    T = _TILE if tile is None else tile
+    assert T % 128 == 0
+    SUB = T // 128
 
     if pre_staged == "planes_tiled":
-        NBT, rows2, TL_ = read_codes.shape
-        assert rows2 == L // 16 and TL_ == _TILE
-        assert ref_codes.shape == (NBT, rows2, _TILE)
+        NBT, rows2, S = read_codes.shape
+        assert rows2 == L // 16
+        # the staged tile S may exceed the grid tile T: each grid step
+        # then reads one T-slice of a staged block (still contiguous)
+        assert S % T == 0, (S, T)
+        r_sub = S // T
+        assert ref_codes.shape == (NBT, rows2, S)
         assert read_codes.dtype == jnp.uint32
         B = read_len.shape[0]
-        BP = NBT * _TILE
-        assert B <= BP and BP - B < _TILE
+        BP = NBT * S
+        assert B <= BP and BP - B < S
         if BP > B:
             zero_l = jnp.zeros((BP - B,), jnp.int32)
             read_len = jnp.concatenate([read_len.astype(jnp.int32), zero_l])
             ref_len = jnp.concatenate([ref_len.astype(jnp.int32), zero_l])
         NB = BP // 128
-        rc_t = read_codes.reshape(NBT, rows2, _SUB, 128)
-        fc_t = ref_codes.reshape(NBT, rows2, _SUB, 128)
+        rc_t = read_codes.reshape(NBT, rows2, S // 128, 128)
+        fc_t = ref_codes.reshape(NBT, rows2, S // 128, 128)
     elif pre_staged:
         Wq, B = read_codes.shape
         assert Wq == (L // 16 if planes else L // 4)
         assert read_codes.dtype == jnp.uint32
-        pad = (-B) % _TILE
+        pad = (-B) % T
         BP = B + pad
         if pad:
             zero_c = jnp.zeros((Wq, pad), jnp.uint32)
@@ -600,7 +640,7 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     else:
         B, Lc = read_codes.shape
         assert Lc == L
-        pad = (-B) % _TILE
+        pad = (-B) % T
         BP = B + pad
         if pad:
             zero_c = jnp.zeros((pad, L), read_codes.dtype)
@@ -640,7 +680,7 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
         )
     kernel = functools.partial(_leap_kernel, cfg, planes, want_cigar,
                                semantics, use_shd_gate)
-    vec_spec = pl.BlockSpec((_SUB, 128), lambda i: (i, 0),
+    vec_spec = pl.BlockSpec((SUB, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [vec_spec, vec_spec, vec_spec]
     out_shape = [
@@ -649,29 +689,31 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
         jax.ShapeDtypeStruct((NB, 128), jnp.int32),
     ]
     scratch = [
-        pltpu.VMEM((3, R, TL, _SUB, 128), jnp.int32),  # hist_ref
-        pltpu.VMEM((7 if want_cigar else 4, _SUB, 128), jnp.int32),  # st_ref
+        pltpu.VMEM((3, R, TL, SUB, 128), jnp.int32),  # hist_ref
+        pltpu.VMEM((7 if want_cigar else 4, SUB, 128), jnp.int32),  # st_ref
     ]
     if want_cigar:
         out_specs.append(
-            pl.BlockSpec((E + 1, _SUB, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((E + 1, SUB, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((E + 1, NB, 128), jnp.int32))
         scratch.append(
-            pltpu.VMEM(((E + 1) * TL, _SUB, 128), jnp.uint32)  # bt_ref
+            pltpu.VMEM(((E + 1) * TL, SUB, 128), jnp.uint32)  # bt_ref
         )
     if planes == "tiled":
-        code_spec = pl.BlockSpec((1, L // 16, _SUB, 128),
-                                 lambda i: (i, 0, 0, 0),
-                                 memory_space=pltpu.VMEM)
+        code_spec = pl.BlockSpec(
+            (1, L // 16, SUB, 128),
+            lambda i: (i // r_sub, 0, i % r_sub, 0),
+            memory_space=pltpu.VMEM,
+        )
     else:
-        code_spec = pl.BlockSpec((code_rows, _SUB, 128),
+        code_spec = pl.BlockSpec((code_rows, SUB, 128),
                                  lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
-        grid=(NB // _SUB,),
+        grid=(NB // SUB,),
         in_specs=[
             code_spec,
             code_spec,
@@ -729,4 +771,77 @@ def leap_cigar_decode(result: dict, cfg: AlignConfig):
                 edits.append((opchar[w & 3], w >> 3, bool(w & 4)))
         edits.append(("", int(rec[0, b]), False))
         out.append((edits, edits_to_cigar(edits)))
+    return out
+
+
+def leap_cigar_auto(read_codes, read_len, ref_codes, ref_len,
+                    cfg: AlignConfig, *, pre_staged=False,
+                    interpret: bool = False, bucket: int = 16,
+                    vmem_budget: int = 12 << 20, max_tile: int | None = None,
+                    decode: bool = True):
+    """Fused CIGAR at ANY af_threshold via the two-pass scheme.
+
+    The fused backtrack parks its [E+1, TL] packed history in VMEM, so a
+    single kernel cannot be sized by the benchmark's af_threshold=200
+    (benchmark_utils.h:289) without blowing the ~16 MB budget at full
+    tile. Instead (the greedy measured-steps-cache trick, cf. bench.py):
+
+      pass 1  leap_align_pallas penalty-only — for lv_bag the reported
+              penalty of a passed pair IS its pass energy, so the batch's
+              true energy bound is max(penalty * passed);
+      pass 2  want_cigar with leap_max_energy = that bound rounded up to
+              a multiple of `bucket` (bounds distinct compiled programs)
+              and the grid tile shrunk by leap_cigar_tile until the
+              history fits VMEM.
+
+    Returns the want_cigar result dict plus "energy_bound"; decode=True
+    additionally attaches "cigars" = leap_cigar_decode output. If even a
+    256-pair tile cannot hold the history (energies in the many hundreds)
+    the XLA full-history path takes over ([B, L] code inputs only) and
+    the dict carries "cigars" without "edit_rec".
+    """
+    import dataclasses
+
+    import numpy as np
+
+    assert cfg.leap_max_energy is None, (
+        "leap_cigar_auto sizes the energy bound itself; leave "
+        "leap_max_energy unset"
+    )
+    p1 = leap_align_pallas(read_codes, read_len, ref_codes, ref_len, cfg,
+                           interpret=interpret, pre_staged=pre_staged)
+    pen = np.asarray(p1["penalty"])
+    ps = np.asarray(p1["passed"])
+    maxe = int((pen * ps).max()) if ps.any() else 0
+    E = min(cfg.leap_af_threshold,
+            max(bucket, -(-maxe // bucket) * bucket))
+    ccfg = dataclasses.replace(cfg, leap_max_energy=E)
+    tile = leap_cigar_tile(ccfg, max_tile=max_tile,
+                           vmem_budget=vmem_budget)
+    if tile is None:
+        # extreme energy bound: XLA full-history path (leap_align keeps
+        # the whole [E, TL] start/end/I/D tables in HBM, no VMEM cap)
+        if pre_staged:
+            raise NotImplementedError(
+                "fused CIGAR history does not fit VMEM at any tile and "
+                "the XLA fallback needs [B, L] codes; unpack the "
+                "pre-staged corpus first"
+            )
+        from asm_tpu.kernels.leap import leap_align
+        from asm_tpu.kernels.leap_backtrack import leap_backtrack_batch
+
+        hist = leap_align(read_codes, read_len, ref_codes, ref_len, cfg,
+                          want_history=True)
+        return dict(
+            passed=hist["passed"], penalty=hist["penalty"],
+            lane_shift=hist["lane_shift"], energy_bound=E,
+            cigars=leap_backtrack_batch(hist, cfg),
+        )
+    out = leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
+                            ccfg, interpret=interpret,
+                            pre_staged=pre_staged, want_cigar=True,
+                            tile=tile)
+    out = dict(out, energy_bound=E)
+    if decode:
+        out["cigars"] = leap_cigar_decode(out, ccfg)
     return out

@@ -33,6 +33,15 @@ from asm_tpu.kernels.leap_pallas import leap_align_pallas, leap_cigar_decode
     (0.10, 0.96, 53,
      AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=24, max_len=128,
                  leap_mode=LeapMode.LOCAL)),
+    # SEMI_FREE_BEGIN: free-begin init rows + corrected-energy arbitration
+    # with the lane-correction prefix in the decode
+    (0.10, 0.80, 54,
+     AlignConfig(x=2, o=3, e=1, k=3, leap_af_threshold=30, max_len=128,
+                 leap_mode=LeapMode.SEMI_FREE_BEGIN)),
+    # SEMI_FREE_END: last-converged-lane pick, no correction prefix
+    (0.10, 0.80, 55,
+     AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=24, max_len=128,
+                 leap_mode=LeapMode.SEMI_FREE_END)),
 ])
 def test_fused_cigar_matches_xla_backtrack(err, mr, seed, cfg):
     reads, refs = generate_dataset(48, 100, err, mr, seed=seed)
@@ -54,3 +63,80 @@ def test_fused_cigar_matches_xla_backtrack(err, mr, seed, cfg):
     got = leap_cigar_decode(out, cfg)
     for i, (w, g) in enumerate(zip(want, got)):
         assert w == g, (i, w, g)
+
+
+def _auto_vs_xla(cfg, corpus, **auto_kw):
+    rc, rl, fc, fl = map(jnp.asarray, corpus)
+    from asm_tpu.kernels.leap_pallas import leap_cigar_auto
+
+    hist = leap_align(rc, rl, fc, fl, cfg, want_history=True)
+    want = leap_backtrack_batch(hist, cfg)
+    out = leap_cigar_auto(rc, rl, fc, fl, cfg, interpret=True, **auto_kw)
+    np.testing.assert_array_equal(
+        np.asarray(out["passed"]), np.asarray(hist["passed"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["penalty"]), np.asarray(hist["penalty"])
+    )
+    for i, (w, g) in enumerate(zip(want, out["cigars"])):
+        assert w == g, (i, w, g)
+    return out
+
+
+def test_cigar_auto_lifts_the_energy_ceiling():
+    """The round-3 fused path was hard-capped at E=48; leap_cigar_auto
+    must produce bit-equal CIGARs on a corpus whose pairs PASS at
+    energies well above that, under the reference benchmark's
+    af_threshold=200 (benchmark_utils.h:289)."""
+    from asm_tpu.data.generator import generate_dataset_arrays
+
+    cfg = AlignConfig(x=2, o=3, e=1, k=4, leap_af_threshold=200,
+                      max_len=128)
+    corpus = generate_dataset_arrays(64, 100, 0.30, 0.96, seed=60)
+    out = _auto_vs_xla(cfg, corpus)
+    pen = np.asarray(out["penalty"]) * np.asarray(out["passed"])
+    assert int(pen.max()) > 48, "corpus too easy to prove the lift"
+    assert out["energy_bound"] >= int(pen.max())
+    assert out["energy_bound"] < 200  # sized by measurement, not af
+
+
+def test_cigar_auto_easy_corpus_small_bound():
+    """On an easy corpus the two-pass bound stays small (one bucket) —
+    the record buffer and history shrink with the measured energy."""
+    from asm_tpu.data.generator import generate_dataset_arrays
+
+    cfg = AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=200,
+                      max_len=128)
+    corpus = generate_dataset_arrays(48, 100, 0.05, 0.96, seed=61)
+    out = _auto_vs_xla(cfg, corpus)
+    assert out["energy_bound"] <= 16
+
+
+def test_cigar_auto_forced_tiny_tile():
+    """A tiny vmem budget forces the smallest tile; outputs unchanged."""
+    from asm_tpu.data.generator import generate_dataset_arrays
+
+    cfg = AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=60,
+                      max_len=128)
+    corpus = generate_dataset_arrays(48, 100, 0.15, 0.9, seed=62)
+    from asm_tpu.kernels.leap_pallas import (leap_cigar_tile,
+                                             leap_cigar_vmem_bytes)
+    import dataclasses
+
+    # budget that only fits a 256-pair tile at this bound
+    probe = dataclasses.replace(cfg, leap_max_energy=32)
+    b256 = leap_cigar_vmem_bytes(probe, 256)
+    assert leap_cigar_tile(probe, vmem_budget=b256) == 256
+    _auto_vs_xla(cfg, corpus, vmem_budget=b256, bucket=32)
+
+
+def test_cigar_auto_xla_fallback():
+    """When even a 256-pair tile cannot hold the history the XLA
+    full-history path takes over transparently."""
+    from asm_tpu.data.generator import generate_dataset_arrays
+
+    cfg = AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=30,
+                      max_len=128)
+    corpus = generate_dataset_arrays(32, 100, 0.15, 0.9, seed=63)
+    out = _auto_vs_xla(cfg, corpus, vmem_budget=1024)
+    assert "edit_rec" not in out

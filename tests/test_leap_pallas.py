@@ -80,3 +80,86 @@ def test_leap_pallas_planes_pre_staged_matches_batch_major():
         np.testing.assert_array_equal(
             np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
         )
+
+
+ALL_MODES = [LeapMode.LOCAL, LeapMode.GLOBAL,
+             LeapMode.SEMI_FREE_BEGIN, LeapMode.SEMI_FREE_END]
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+@pytest.mark.parametrize("affine", [False, True])
+def test_leap_pallas_every_mode(mode, affine):
+    """Pallas == XLA for every LeapMode the XLA path supports (LV_BAG.h:38
+    ED_modes), unit and affine penalties — SEMI_FREE_BEGIN/END included
+    (their init rows / convergence arbitration differ from GLOBAL)."""
+    if affine:
+        cfg = AlignConfig(x=2, o=3, e=1, k=3, leap_af_threshold=40,
+                          leap_mode=mode)
+    else:
+        cfg = AlignConfig(k=3, leap_af_threshold=24, leap_mode=mode)
+    _compare(
+        generate_dataset_arrays(32, 80, 0.15, 0.8,
+                                seed=21 + 2 * int(mode) + int(affine)),
+        cfg,
+    )
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+@pytest.mark.parametrize("sem", ["simd_ed_lev", "simd_ed_affine"])
+def test_leap_pallas_simd_ed_every_mode(sem, mode):
+    """SIMD_ED semantics across all four ED modes (SIMD_ED.cpp:349-352
+    mode corrections): pallas == XLA bit-for-bit."""
+    if sem == "simd_ed_lev":
+        cfg = AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=3,
+                          leap_mode=mode)
+    else:
+        cfg = AlignConfig(x=2, o=3, e=1, k=3, leap_af_threshold=30,
+                          leap_mode=mode)
+    rc, rl, fc, fl = generate_dataset_arrays(24, 80, 0.1, 0.9,
+                                             seed=31 + int(mode))
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    from asm_tpu.kernels.leap import leap_align as _xla
+
+    ref = _xla(*a, cfg, semantics=sem)
+    got = leap_align_pallas(*a, cfg, interpret=True, semantics=sem)
+    for key in ("passed", "penalty", "lane_shift"):
+        np.testing.assert_array_equal(
+            np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+        )
+
+
+def test_leap_pallas_tile_param_bit_equal():
+    """The `tile` static arg (smaller grid tiles for high-energy CIGAR
+    passes) must not change any output."""
+    cfg = AlignConfig(leap_af_threshold=40)
+    rc, rl, fc, fl = generate_dataset_arrays(300, 100, 0.15, 0.8, seed=13)
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    ref = leap_align_pallas(*a, cfg, interpret=True)
+    got = leap_align_pallas(*a, cfg, interpret=True, tile=512)
+    for key in ("passed", "penalty", "lane_shift"):
+        np.testing.assert_array_equal(
+            np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+        )
+
+
+def test_leap_pallas_tiled_staged_subtile():
+    """planes_tiled input staged at one tile size consumed by a kernel
+    running a SMALLER grid tile (each grid step reads a T-slice of a
+    staged block) — the path leap_cigar_auto uses on the production
+    corpus layout."""
+    from asm_tpu.kernels.greedy_pallas import _TILE, stage_planes_tiled_t
+
+    cfg = AlignConfig(leap_af_threshold=40)
+    B = _TILE  # one staged block
+    rc, rl, fc, fl = generate_dataset_arrays(B, 100, 0.15, 0.8, seed=14)
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    ref = leap_align_pallas(*a, cfg, interpret=True)
+    got = leap_align_pallas(
+        jnp.asarray(stage_planes_tiled_t(rc)), a[1],
+        jnp.asarray(stage_planes_tiled_t(fc)), a[3],
+        cfg, interpret=True, pre_staged="planes_tiled", tile=_TILE // 4,
+    )
+    for key in ("passed", "penalty", "lane_shift"):
+        np.testing.assert_array_equal(
+            np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+        )

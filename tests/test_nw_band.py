@@ -61,3 +61,62 @@ def test_auto_pre_staged_planes_bit_equal(err, mr):
         interpret=True, pre_staged=True,
     )
     np.testing.assert_array_equal(np.asarray(auto), ref)
+
+
+def _mixed_corpus(seed=70):
+    """Pairs whose certifying bands span 16/32/64/full — errs 0.02-0.20
+    plus a pathological indel-heavy block that defeats every band."""
+    blocks = [
+        generate_dataset_arrays(24, 100, 0.02, 0.96, seed=seed),
+        generate_dataset_arrays(24, 100, 0.10, 0.96, seed=seed + 1),
+        generate_dataset_arrays(24, 100, 0.20, 0.96, seed=seed + 2),
+        generate_dataset_arrays(16, 100, 0.45, 0.10, seed=seed + 3),
+    ]
+    return [np.concatenate([b[i] for b in blocks]) for i in range(4)]
+
+
+def test_partitioned_bit_equal_mixed():
+    """Host-side band partitioning == the exact oracle on a corpus mixing
+    every certifying band, with and without a precomputed band schedule
+    (the measured-band cache path)."""
+    from asm_tpu.kernels.nw_band import (nw_penalty_partitioned,
+                                         required_band)
+
+    corpus = _mixed_corpus()
+    a = [jnp.asarray(v) for v in corpus]
+    want = np.asarray(nw_penalty(*a))
+
+    got = nw_penalty_partitioned(*corpus, interpret=True)
+    np.testing.assert_array_equal(got, want)
+
+    bands = required_band(want)
+    assert {int(b) for b in np.unique(bands)} >= {16, 64}
+    got2 = nw_penalty_partitioned(*corpus, bands=bands, interpret=True)
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_partitioned_stale_bands_self_heal():
+    """A too-narrow (stale) band schedule must still return exact
+    penalties — uncertified results forward to wider stages."""
+    from asm_tpu.kernels.nw_band import nw_penalty_partitioned
+
+    corpus = _mixed_corpus(seed=80)
+    a = [jnp.asarray(v) for v in corpus]
+    want = np.asarray(nw_penalty(*a))
+    stale = np.full(want.shape, 16, np.int32)  # everything claims BW=16
+    got = nw_penalty_partitioned(*corpus, bands=stale, interpret=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_partitioned_pre_staged_planes():
+    from asm_tpu.kernels.greedy_pallas import stage_planes_t
+    from asm_tpu.kernels.nw_band import nw_penalty_partitioned
+
+    rc, rl, fc, fl = _mixed_corpus(seed=90)
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    want = np.asarray(nw_penalty(*a))
+    got = nw_penalty_partitioned(
+        stage_planes_t(rc), rl, stage_planes_t(fc), fl,
+        pre_staged=True, interpret=True,
+    )
+    np.testing.assert_array_equal(got, want)

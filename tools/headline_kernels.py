@@ -4,13 +4,21 @@ Same accounting as bench.py (corpus prep + staging untimed, queued chunk
 dispatches, completion forced by pulling a reduced scalar through the axon
 tunnel). Prints one JSON line per kernel.
 
-Usage:  python tools/headline_kernels.py [leap nw]
+Usage:  python tools/headline_kernels.py [leap leap_cigar leap_gated nw]
 Env:    HK_PAIRS (default 8388608), HK_CHUNK (default = pairs),
-        HK_REPS (default 3)
+        HK_REPS (default 3), HK_ERR (corpus error rate, default 0.05),
+        HK_CIGAR_CFG (unit | affine — the reference LEAP driver's
+        init_affine(…, 2, 3, 1) penalties, LEAP_SIMD/main.cpp:97),
+        HK_NW_PARTITION (default 1: measured-band partitioned dispatch;
+        0 = whole-chunk auto cascade), HK_NW_CHUNK, HK_SORT.
+
+vs_baseline is computed against the reference's published single-core
+time for the SAME error rate (README.md:10-68 tables).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import os
@@ -32,11 +40,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from asm_tpu.config import AlignConfig
 from asm_tpu.utils.corpus_cache import load_corpus
 
-# reference single-core numbers (BASELINE.md); leap_cigar measures the
-# CIGAR-producing path against the same LEAP baseline (the reference's
-# timed loop never skips backtrack state upkeep)
-BASE = {"leap": 0.65e6, "leap_cigar": 0.65e6, "leap_gated": 0.65e6,
-        "nw": 27.6e3}
+# reference single-core seconds per 1M alignments at each simulated error
+# rate (README.md:10-68); the CIGAR-producing and gated LEAP rows measure
+# against the same LEAP baseline (the reference's timed loop never skips
+# backtrack state upkeep)
+REF_SECONDS = {
+    "nw": {0.05: 36.22, 0.10: 34.26, 0.15: 32.33, 0.20: 31.55},
+    "leap": {0.05: 1.55, 0.10: 2.89, 0.15: 3.85, 0.20: 4.47},
+}
+
+
+def base_rate(name: str, err: float) -> float:
+    kind = "nw" if name.startswith("nw") else "leap"
+    tbl = REF_SECONDS[kind]
+    key = min(tbl, key=lambda r: abs(r - err))
+    return 1e6 / tbl[key]
 
 
 def main():
@@ -46,19 +64,20 @@ def main():
     n_pairs = int(os.environ.get("HK_PAIRS", 1 << 23))
     chunk = int(os.environ.get("HK_CHUNK", n_pairs))
     reps = int(os.environ.get("HK_REPS", 3))
+    err = float(os.environ.get("HK_ERR", 0.05))
     which = sys.argv[1:] or ["leap", "leap_cigar", "nw"]
 
     cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128)
-    cache = os.path.join(repo, "bench_cache", f"corpus_{n_pairs}_0.05.npz")
-    got = load_corpus(cache, n=n_pairs, err=0.05, mr=0.96, seed=42,
+    cache = os.path.join(repo, "bench_cache", f"corpus_{n_pairs}_{err}.npz")
+    got = load_corpus(cache, n=n_pairs, err=err, mr=0.96, seed=42,
                       length=100)
     if got is None:
         from asm_tpu.native import generate_dataset_native
-        got = generate_dataset_native(n_pairs, 100, 0.05,
+        got = generate_dataset_native(n_pairs, 100, err,
                                       mismatch_rate=0.96, seed=42,
                                       max_len=cfg.max_len)
     rc, rl, fc, fl = got
-    print(f"corpus ready: {n_pairs} pairs", file=sys.stderr)
+    print(f"corpus ready: {n_pairs} pairs err={err}", file=sys.stderr)
 
     # difficulty-ordered scheduling, as in bench.py: LEAP tiles exit at
     # their own max energy, so grouping similar pairs stops every tile
@@ -76,18 +95,21 @@ def main():
         print(f"difficulty sort: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
 
-    def run(name, step, chunks, reduce_ix):
+    def run(name, step, chunks, reduce_ix, post=None):
+        steps = step if isinstance(step, list) else [step] * len(chunks)
         t0 = time.perf_counter()
-        for c in chunks:
-            int(np.asarray(step(*c)[reduce_ix]))
+        for f, c in zip(steps, chunks):
+            int(np.asarray(f(*c)[reduce_ix]))
         print(f"{name} compile+warmup: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
         best = float("inf")
+        outs = None
         for r in range(reps):
+            outs = None
             t0 = time.perf_counter()
             # in-order device execution: forcing the last chunk is the
             # barrier for all; drain the rest untimed (see bench.py)
-            outs = [step(*c) for c in chunks]
+            outs = [f(*c) for f, c in zip(steps, chunks)]
             last = int(np.asarray(outs[-1][reduce_ix]))
             dt = time.perf_counter() - t0
             s = sum(int(np.asarray(o[reduce_ix]))
@@ -96,17 +118,20 @@ def main():
             print(f"{name} rep {r}: {dt:.3f}s  "
                   f"{n_pairs / dt / 1e6:.2f}M aligns/s  (checksum {s})",
                   file=sys.stderr)
+        if post is not None:
+            post(outs)
         aps = n_pairs / best
         print(json.dumps({
             "metric": f"{name}_alignments_per_sec",
             "value": round(aps, 1), "unit": "aligns/s",
-            "vs_baseline": round(aps / BASE[name], 3),
+            "vs_baseline": round(aps / base_rate(name, err), 3),
         }))
 
     if "leap" in which or "leap_cigar" in which or "leap_gated" in which:
         from asm_tpu.kernels.greedy_pallas import _TILE
         from asm_tpu.kernels.greedy_pallas import stage_planes_tiled_t
-        from asm_tpu.kernels.leap_pallas import leap_align_pallas
+        from asm_tpu.kernels.leap_pallas import (leap_align_pallas,
+                                                 leap_cigar_tile)
 
         t0 = time.perf_counter()
         rc_t = stage_planes_tiled_t(rc, perm=perm)
@@ -135,38 +160,76 @@ def main():
             run("leap", step, chunks, 1)
 
         if "leap_cigar" in which:
-            # CIGAR-producing path: the fused in-kernel backtrack emits
-            # packed edit records (decoded host-side by leap_cigar_decode);
-            # records stay jit-internal like bench.py's greedy step
-            # records — the kernel writes them either way
-            # 48 covers this tool's fixed corpus (max passed energy 46; the
-            # assert below proves it) and keeps the VMEM history + record
-            # writeback small — raise for other corpora
-            E = int(os.environ.get("HK_LEAP_E", 48))
-            ccfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=128,
-                               leap_max_energy=E)
-            cbase = jax.jit(functools.partial(
-                leap_align_pallas, cfg=ccfg, pre_staged="planes_tiled",
-                want_cigar=True))
+            # CIGAR-producing path at the reference benchmark's
+            # af_threshold=200 (benchmark_utils.h:289), energy bound
+            # sized by the TWO-PASS scheme (leap_cigar_auto's layout):
+            # an untimed penalty pass measures each chunk's max passed
+            # energy — for lv_bag the reported penalty IS the pass
+            # energy — and the CIGAR pass runs with per-chunk
+            # leap_max_energy buckets at the largest VMEM-feasible grid
+            # tile. Edit records stay jit-internal like bench.py's
+            # greedy step records — the kernel writes them either way;
+            # retaining ~GBs of records per queued chunk would OOM.
+            name = "leap_cigar"
+            pcfg = cfg
+            if os.environ.get("HK_CIGAR_CFG", "unit") == "affine":
+                # the reference LEAP driver's affine penalties
+                # (init_affine(…, ms=2, go=3, ge=1), LEAP_SIMD/main.cpp:97)
+                pcfg = AlignConfig(x=2, o=3, e=1, k=3, max_len=128)
+                name = "leap_cigar_affine"
+            pbase = jax.jit(functools.partial(
+                leap_align_pallas, cfg=pcfg, pre_staged="planes_tiled"))
 
             @jax.jit
-            def cstep(a, b, c, d):
-                out = cbase(a, b, c, d)
-                pen = out["penalty"]
-                ps = out["passed"]
-                # fold the truncation proof into the same dispatch
-                maxp = jnp.max(jnp.where(ps, pen, 0))
-                # do NOT retain edit_rec: as a jit-internal temp the
-                # ~4-5 GB/chunk record buffer lives only while its chunk
-                # executes (the kernel writes it either way); retaining
-                # it OOMs two queued 33.6M chunks
-                return (pen, ps), jnp.sum(pen) + 0 * maxp, maxp
+            def estep(a, b, c, d):
+                out = pbase(a, b, c, d)
+                return jnp.max(jnp.where(out["passed"], out["penalty"], 0))
 
-            run("leap_cigar", cstep, chunks, 1)
-            maxp = max(int(np.asarray(cstep(*c)[2])) for c in chunks)
-            print(f"leap_cigar max passed energy: {maxp} (bound {E})",
-                  file=sys.stderr)
-            assert maxp <= E, "leap_max_energy bound too tight for corpus"
+            bucket = 16
+            t0 = time.perf_counter()
+            bounds = []
+            for c in chunks:
+                maxe = int(np.asarray(estep(*c)))
+                bounds.append(min(pcfg.leap_af_threshold,
+                                  max(bucket, -(-maxe // bucket) * bucket)))
+            print(f"{name} energy pass: per-chunk bounds {bounds} "
+                  f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+
+            def make_cstep(E):
+                ccfg = dataclasses.replace(pcfg, leap_max_energy=E)
+                tile = leap_cigar_tile(ccfg)
+                assert tile is not None, (E, "history exceeds VMEM at "
+                                          "any tile; use the XLA path")
+                cb = jax.jit(functools.partial(
+                    leap_align_pallas, cfg=ccfg,
+                    pre_staged="planes_tiled", want_cigar=True,
+                    tile=tile))
+
+                @jax.jit
+                def cstep(a, b, c, d):
+                    out = cb(a, b, c, d)
+                    pen = out["penalty"]
+                    ps = out["passed"]
+                    maxp = jnp.max(jnp.where(ps, pen, 0))
+                    return (pen, ps), jnp.sum(pen) + 0 * maxp, maxp
+
+                return cstep
+
+            by_bound = {}
+            csteps = []
+            for E in bounds:
+                if E not in by_bound:
+                    by_bound[E] = make_cstep(E)
+                csteps.append(by_bound[E])
+
+            def check(outs):
+                maxps = [int(np.asarray(o[2])) for o in outs]
+                print(f"{name} max passed energy per chunk: {maxps} "
+                      f"(bounds {bounds})", file=sys.stderr)
+                for got_, e_ in zip(maxps, bounds):
+                    assert got_ <= e_, "energy bound too tight for corpus"
+
+            run(name, csteps, chunks, 1, post=check)
 
         if "leap_gated" in which:
             # SHD-gated SIMD_ED-levenshtein filter, gate IN-KERNEL (one
@@ -189,7 +252,10 @@ def main():
 
     if "nw" in which:
         from asm_tpu.kernels.greedy_pallas import stage_planes_t
-        from asm_tpu.kernels.nw_band import nw_penalty_auto
+        from asm_tpu.kernels.nw_band import (band_certified,
+                                             nw_penalty_auto,
+                                             nw_penalty_banded,
+                                             required_band)
 
         # the cascade consumes the shared pre-staged 2-bit-plane corpus
         # (64 B/pair on device instead of 256 B of codes + transposed
@@ -202,19 +268,128 @@ def main():
               file=sys.stderr)
 
         @jax.jit
-        def step(a, b, c, d):
+        def astep(a, b, c, d):
             p = nw_penalty_auto(a, b, c, d, x=cfg.x, o=cfg.o, e=cfg.e,
                                 pre_staged=True)
             return p, jnp.sum(p)
 
-        chunks = [
-            (jax.device_put(np.ascontiguousarray(rc_t[:, i:i + nw_chunk])),
-             jax.device_put(rl[i:i + nw_chunk]),
-             jax.device_put(np.ascontiguousarray(fc_t[:, i:i + nw_chunk])),
-             jax.device_put(fl[i:i + nw_chunk]))
-            for i in range(0, n_pairs, nw_chunk)
-        ]
-        run("nw", step, chunks, 1)
+        def slice_chunks(rc_s, rl_s, fc_s, fl_s, size):
+            return [
+                (jax.device_put(np.ascontiguousarray(rc_s[:, i:i + size])),
+                 jax.device_put(rl_s[i:i + size]),
+                 jax.device_put(np.ascontiguousarray(fc_s[:, i:i + size])),
+                 jax.device_put(fl_s[i:i + size]))
+                for i in range(0, rl_s.shape[0], size)
+            ]
+
+        if not int(os.environ.get("HK_NW_PARTITION", 1)):
+            chunks = slice_chunks(rc_t, rl, fc_t, fl, nw_chunk)
+            run("nw", astep, chunks, 1)
+            return
+
+        # ---- measured-band partitioned dispatch --------------------
+        # The whole-chunk cascade re-runs EVERY pair at each band until
+        # all certify — at err=0.20 that is 16+32+64 lane-steps per pair
+        # where 64 suffice. A measuring pass (the greedy steps-cache
+        # trick) records each pair's exact penalty once; required_band
+        # turns it into the smallest certifying band, pairs are
+        # re-sorted band-major (stable: difficulty order kept within a
+        # band), and the timed region dispatches each partition straight
+        # to its own banded kernel. Certification is re-proved in-run
+        # (reduce index 2); a stale cache drops itself and restarts.
+        band_cache = os.path.join(
+            repo, "bench_cache", f"nwbands_{n_pairs}_{err}_v1.npz")
+        if os.path.exists(band_cache):
+            bands = np.load(band_cache)["bands"]
+            print(f"nw band cache: {band_cache}", file=sys.stderr)
+        else:
+            t0 = time.perf_counter()
+            pen = np.concatenate([
+                np.asarray(astep(*c)[0])
+                for c in slice_chunks(rc_t, rl, fc_t, fl, nw_chunk)
+            ])
+            bands = required_band(pen, o=cfg.o, e=cfg.e)
+            np.savez(band_cache, bands=bands)
+            print(f"nw band pass: {time.perf_counter() - t0:.1f}s "
+                  f"dist {dict(zip(*np.unique(bands, return_counts=True)))}",
+                  file=sys.stderr)
+
+        key = np.where(bands == 0, 1 << 30, bands.astype(np.int64))
+        order = np.argsort(key, kind="stable")
+        perm2 = (np.asarray(perm)[order] if perm is not None else order)
+        t0 = time.perf_counter()
+        rc_t = stage_planes_t(rc, perm=perm2)
+        fc_t = stage_planes_t(fc, perm=perm2)
+        rl2, fl2 = rl[order], fl[order]
+        bands2 = bands[order]
+        print(f"nw band restage: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+        def make_bstep(bw):
+            @jax.jit
+            def bstep(a, b, c, d):
+                p = nw_penalty_banded(a, b, c, d, bw=bw, x=cfg.x, o=cfg.o,
+                                      e=cfg.e, pre_staged=True)
+                ok = jnp.all(band_certified(p, bw, cfg.o, cfg.e)
+                             | (b + d == 0))  # zero-padding rows
+                return p, jnp.sum(p), ok
+
+            return bstep
+
+        @jax.jit
+        def fstep(a, b, c, d):  # band-0 residue: exact cascade
+            p = nw_penalty_auto(a, b, c, d, x=cfg.x, o=cfg.o, e=cfg.e,
+                                pre_staged=True)
+            return p, jnp.sum(p), jnp.bool_(True)
+
+        steps, chunks = [], []
+        W2 = rc_t.shape[0]
+        for bw in (16, 32, 64, 0):
+            sel = np.nonzero(bands2 == bw)[0]
+            if sel.size == 0:
+                continue
+            lo, hi = int(sel[0]), int(sel[-1]) + 1
+            assert hi - lo == sel.size  # contiguous after the sort
+            if bw == 0:
+                steps.append(fstep)
+                chunks.append((
+                    jax.device_put(np.ascontiguousarray(rc_t[:, lo:hi])),
+                    jax.device_put(rl2[lo:hi]),
+                    jax.device_put(np.ascontiguousarray(fc_t[:, lo:hi])),
+                    jax.device_put(fl2[lo:hi]),
+                ))
+                continue
+            size = hi - lo
+            c_sz = min(nw_chunk, size)
+            padc = (-size) % c_sz
+            # pad the partition to whole chunks with zero-length pairs
+            # (pen 0, certified) so each band compiles ONE program
+            rcp = np.concatenate(
+                [rc_t[:, lo:hi],
+                 np.zeros((W2, padc), rc_t.dtype)], axis=1)
+            fcp = np.concatenate(
+                [fc_t[:, lo:hi],
+                 np.zeros((W2, padc), fc_t.dtype)], axis=1)
+            rlp = np.concatenate([rl2[lo:hi], np.zeros(padc, rl2.dtype)])
+            flp = np.concatenate([fl2[lo:hi], np.zeros(padc, fl2.dtype)])
+            st = make_bstep(bw)
+            for c in slice_chunks(rcp, rlp, fcp, flp, c_sz):
+                steps.append(st)
+                chunks.append(c)
+        print(f"nw partitions: "
+              f"{dict(zip(*np.unique(bands2, return_counts=True)))} "
+              f"-> {len(chunks)} dispatches", file=sys.stderr)
+
+        def check(outs):
+            ok = all(bool(np.asarray(o[2])) for o in outs)
+            if not ok:
+                print("nw band cache stale (uncertified partition); "
+                      f"dropping {band_cache} and restarting",
+                      file=sys.stderr)
+                os.remove(band_cache)
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+
+        run("nw", steps, chunks, 1, post=check)
 
 
 if __name__ == "__main__":
