@@ -29,7 +29,6 @@ from asm_tpu.config import AlignConfig
 from asm_tpu.encoding import PAD_REF
 from asm_tpu.kernels.greedy import greedy_align
 from asm_tpu.native import FMIndex, load_native
-from asm_tpu.ops.cigar import batch_greedy_cigars
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,54 +82,83 @@ def map_reads(
     ref_len_total = ref_codes.shape[0]
     align_fn = jax.jit(functools.partial(greedy_align, cfg=mcfg.align))
 
-    # gather candidate (read, window) pairs — one native call per batch
+    # gather candidate (read, window) pairs — one native call per batch;
+    # the job list, window assembly and best-hit selection are all
+    # vectorized numpy (a per-candidate Python loop dominated wall time
+    # at scale long before the TPU did)
     starts, counts = _candidates_batch(idx, read_codes, read_lens, mcfg)
-    jobs = [
-        (ri, int(starts[ri, t]))
-        for ri in range(n_reads)
-        for t in range(int(counts[ri]))
-    ]
+    mask = np.arange(starts.shape[1])[None, :] < counts[:, None]
+    jobs_ri, jobs_t = np.nonzero(mask)
+    jobs_start = starts[jobs_ri, jobs_t].astype(np.int64)
+    nj = jobs_ri.size
 
-    best = [None] * n_reads
-    if jobs:
+    big = np.iinfo(np.int64).max
+    best_cost = np.full(n_reads, big, np.int64)
+    best_pos = np.zeros(n_reads, np.int64)
+    best_rec = [None] * n_reads  # winner's (cigar_ops, cigar_runs) rows
+    if nj:
         # batched rescoring (window = read_len + 1, main.cpp:79-80);
         # every launch is padded to the SAME [mcfg.batch, L] shape so the
         # kernel compiles exactly once (a TPU compile costs far more than
         # the padded rows)
-        for base in range(0, len(jobs), mcfg.batch):
-            batch = jobs[base: base + mcfg.batch]
-            bs = len(batch)
+        colv = np.arange(L, dtype=np.int64)
+        rlens = read_lens.astype(np.int64)
+        for base in range(0, nj, mcfg.batch):
+            sel = slice(base, min(base + mcfg.batch, nj))
+            bri = jobs_ri[sel]
+            bst = jobs_start[sel]
+            bs = bri.size
             padded = mcfg.batch
             q = np.zeros((padded, L), np.int8)
             ql = np.zeros(padded, np.int32)
             w = np.full((padded, L), PAD_REF, np.int8)
             wl = np.zeros(padded, np.int32)
-            for bi, (ri, start) in enumerate(batch):
-                q[bi] = read_codes[ri]
-                ql[bi] = read_lens[ri]
-                span = min(int(read_lens[ri]) + 1, ref_len_total - start, L)
-                w[bi, :span] = ref_codes[start: start + span]
-                w[bi, span:] = PAD_REF
-                wl[bi] = span
+            q[:bs] = read_codes[bri]
+            ql[:bs] = read_lens[bri]
+            span = np.minimum(np.minimum(rlens[bri] + 1,
+                                         ref_len_total - bst), L)
+            win = ref_codes[np.minimum(bst[:, None] + colv[None, :],
+                                       ref_len_total - 1)]
+            w[:bs] = np.where(colv[None, :] < span[:, None], win, PAD_REF)
+            wl[:bs] = span
             out = align_fn(
                 jnp.asarray(q), jnp.asarray(ql), jnp.asarray(w),
                 jnp.asarray(wl),
             )
-            costs = np.asarray(out["cost"])
-            cigars = batch_greedy_cigars(
-                {k: np.asarray(v) for k, v in out.items()
-                 if k.startswith("cigar")}
+            costs = np.asarray(out["cost"])[:bs].astype(np.int64)
+            # per-read minimum with the original first-candidate-wins tie
+            # break: stable (read, cost, order) sort, keep each read's
+            # first row, then strict `<` against earlier batches
+            order = np.lexsort((np.arange(bs), costs, bri))
+            keep = np.ones(order.size, bool)
+            sri = bri[order]
+            keep[1:] = sri[1:] != sri[:-1]
+            ops = runs = None
+            for row in order[keep]:
+                ri = int(bri[row])
+                c = int(costs[row])
+                if c < best_cost[ri]:
+                    if ops is None:  # pull the record arrays once/batch
+                        ops = np.asarray(out["cigar_ops"])
+                        runs = np.asarray(out["cigar_runs"])
+                    best_cost[ri] = c
+                    best_pos[ri] = int(bst[row])
+                    best_rec[ri] = (ops[row].copy(), runs[row].copy())
+
+    from asm_tpu.ops.cigar import runs_to_cigar
+
+    best = [None] * n_reads
+    for ri in range(n_reads):
+        if best_rec[ri] is not None:
+            c = int(best_cost[ri])
+            best[ri] = dict(
+                read=ri,
+                pos=int(best_pos[ri]),
+                cost=c,
+                # decode CIGARs only for the winning candidates
+                cigar=runs_to_cigar(*best_rec[ri]),
+                mapq=60 + c,  # reference quirk, main.cpp:96
             )
-            for bi, (ri, start) in enumerate(batch):
-                c = int(costs[bi])
-                if best[ri] is None or c < best[ri]["cost"]:
-                    best[ri] = dict(
-                        read=ri,
-                        pos=start,
-                        cost=c,
-                        cigar=cigars[bi],
-                        mapq=60 + c,  # reference quirk, main.cpp:96
-                    )
 
     names = read_names or [f"read{i}" for i in range(n_reads)]
     lines = [
