@@ -44,8 +44,13 @@ from asm_tpu.kernels.greedy import greedy_align
 from asm_tpu.kernels.leap import leap_align
 from asm_tpu.kernels.shd import shd_filter
 from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
-from asm_tpu.kernels.leap_pallas import leap_align_pallas
+from asm_tpu.kernels.leap_pallas import leap_align_pallas, leap_cigar_auto
 from asm_tpu.kernels.nw_pallas import nw_align_pallas, nw_penalty_pallas
+from asm_tpu.kernels.nw_band import (
+    nw_penalty_auto,
+    nw_penalty_partitioned,
+    required_band,
+)
 from asm_tpu.kernels.msa import profile_align, profiles_from_alignments
 
 __all__ = [
@@ -61,10 +66,14 @@ __all__ = [
     "nw_penalty",
     "nw_align_pallas",
     "nw_penalty_pallas",
+    "nw_penalty_auto",
+    "nw_penalty_partitioned",
+    "required_band",
     "greedy_align",
     "greedy_align_pallas",
     "leap_align",
     "leap_align_pallas",
+    "leap_cigar_auto",
     "shd_filter",
     "profile_align",
     "profiles_from_alignments",

@@ -81,6 +81,12 @@ def map_reads(
     n_reads, L = read_codes.shape
     ref_len_total = ref_codes.shape[0]
     align_fn = jax.jit(functools.partial(greedy_align, cfg=mcfg.align))
+    # phase-1 scoring pulls ONLY the cost vector; returning just "cost"
+    # lets XLA dead-code-eliminate the CIGAR buffer upkeep entirely and
+    # keeps per-batch device->host traffic at 4 B/candidate
+    cost_fn = jax.jit(
+        lambda a, b, c, d: greedy_align(a, b, c, d, mcfg.align)["cost"]
+    )
 
     # gather candidate (read, window) pairs — one native call per batch;
     # the job list, window assembly and best-hit selection are all
@@ -92,73 +98,101 @@ def map_reads(
     jobs_start = starts[jobs_ri, jobs_t].astype(np.int64)
     nj = jobs_ri.size
 
+    colv = np.arange(L, dtype=np.int64)
+    rlens = read_lens.astype(np.int64)
+
+    def assemble(bri, bst):
+        """Padded [batch, L] (q, ql, w, wl) arrays for a job slice
+        (window = read_len + 1, main.cpp:79-80); every launch has the
+        SAME shape so each kernel compiles exactly once."""
+        bs = bri.size
+        padded = mcfg.batch
+        q = np.zeros((padded, L), np.int8)
+        ql = np.zeros(padded, np.int32)
+        w = np.full((padded, L), PAD_REF, np.int8)
+        wl = np.zeros(padded, np.int32)
+        q[:bs] = read_codes[bri]
+        ql[:bs] = read_lens[bri]
+        span = np.minimum(np.minimum(rlens[bri] + 1,
+                                     ref_len_total - bst), L)
+        win = ref_codes[np.minimum(bst[:, None] + colv[None, :],
+                                   ref_len_total - 1)]
+        w[:bs] = np.where(colv[None, :] < span[:, None], win, PAD_REF)
+        wl[:bs] = span
+        return (jnp.asarray(q), jnp.asarray(ql), jnp.asarray(w),
+                jnp.asarray(wl))
+
+    from asm_tpu.ops.cigar import runs_to_cigar
+
+    # strategy: with a high candidate fan-out (repeat-heavy genomes,
+    # large max_candidates) a cost-only scoring pass plus a winners-only
+    # CIGAR pass avoids pulling/decoding per-candidate records; with
+    # ~1 candidate/read the second pass would nearly double the align
+    # work, so pull records in the single pass instead (measured
+    # crossover ~2 candidates/read)
+    two_phase = nj > 2 * n_reads
+
     big = np.iinfo(np.int64).max
     best_cost = np.full(n_reads, big, np.int64)
     best_pos = np.zeros(n_reads, np.int64)
-    best_rec = [None] * n_reads  # winner's (cigar_ops, cigar_runs) rows
+    best_rec = [None] * n_reads
     if nj:
-        # batched rescoring (window = read_len + 1, main.cpp:79-80);
-        # every launch is padded to the SAME [mcfg.batch, L] shape so the
-        # kernel compiles exactly once (a TPU compile costs far more than
-        # the padded rows)
-        colv = np.arange(L, dtype=np.int64)
-        rlens = read_lens.astype(np.int64)
+        # phase 1 — dispatch EVERY scoring batch before pulling any
+        # result: the device queue pipelines the kernels against the
+        # host-side window assembly, and per-dispatch latency (25-30 ms
+        # through the axon tunnel) is paid once instead of per batch
+        phase1 = cost_fn if two_phase else align_fn
+        pending = []
         for base in range(0, nj, mcfg.batch):
             sel = slice(base, min(base + mcfg.batch, nj))
             bri = jobs_ri[sel]
             bst = jobs_start[sel]
+            pending.append((bri, bst, phase1(*assemble(bri, bst))))
+        for bri, bst, out in pending:
             bs = bri.size
-            padded = mcfg.batch
-            q = np.zeros((padded, L), np.int8)
-            ql = np.zeros(padded, np.int32)
-            w = np.full((padded, L), PAD_REF, np.int8)
-            wl = np.zeros(padded, np.int32)
-            q[:bs] = read_codes[bri]
-            ql[:bs] = read_lens[bri]
-            span = np.minimum(np.minimum(rlens[bri] + 1,
-                                         ref_len_total - bst), L)
-            win = ref_codes[np.minimum(bst[:, None] + colv[None, :],
-                                       ref_len_total - 1)]
-            w[:bs] = np.where(colv[None, :] < span[:, None], win, PAD_REF)
-            wl[:bs] = span
-            out = align_fn(
-                jnp.asarray(q), jnp.asarray(ql), jnp.asarray(w),
-                jnp.asarray(wl),
-            )
-            costs = np.asarray(out["cost"])[:bs].astype(np.int64)
-            # per-read minimum with the original first-candidate-wins tie
-            # break: stable (read, cost, order) sort, keep each read's
-            # first row, then strict `<` against earlier batches
+            cv = out if two_phase else out["cost"]
+            costs = np.asarray(cv)[:bs].astype(np.int64)
+            # per-read minimum with the original first-candidate-wins
+            # tie break: stable (read, cost, order) sort, keep each
+            # read's first row, then strict `<` against earlier batches
             order = np.lexsort((np.arange(bs), costs, bri))
             keep = np.ones(order.size, bool)
             sri = bri[order]
             keep[1:] = sri[1:] != sri[:-1]
-            ops = runs = None
-            for row in order[keep]:
-                ri = int(bri[row])
-                c = int(costs[row])
-                if c < best_cost[ri]:
-                    if ops is None:  # pull the record arrays once/batch
-                        ops = np.asarray(out["cigar_ops"])
-                        runs = np.asarray(out["cigar_runs"])
-                    best_cost[ri] = c
-                    best_pos[ri] = int(bst[row])
-                    best_rec[ri] = (ops[row].copy(), runs[row].copy())
+            rows = order[keep]
+            rows = rows[costs[rows] < best_cost[bri[rows]]]
+            best_cost[bri[rows]] = costs[rows]
+            best_pos[bri[rows]] = bst[rows]
+            if not two_phase and rows.size:
+                ops = np.asarray(out["cigar_ops"])
+                runs = np.asarray(out["cigar_runs"])
+                for row in rows:
+                    best_rec[int(bri[row])] = (ops[row].copy(),
+                                               runs[row].copy())
 
-    from asm_tpu.ops.cigar import runs_to_cigar
-
+    mapped = np.nonzero(best_cost < big)[0]
     best = [None] * n_reads
-    for ri in range(n_reads):
-        if best_rec[ri] is not None:
-            c = int(best_cost[ri])
-            best[ri] = dict(
-                read=ri,
-                pos=int(best_pos[ri]),
-                cost=c,
-                # decode CIGARs only for the winning candidates
-                cigar=runs_to_cigar(*best_rec[ri]),
-                mapq=60 + c,  # reference quirk, main.cpp:96
-            )
+    if two_phase:
+        # phase 2 — CIGARs for the winning placements only (one aligned
+        # batch per n_reads/batch instead of per candidate)
+        pending = []
+        for base in range(0, mapped.size, mcfg.batch):
+            bri = mapped[base: base + mcfg.batch]
+            pending.append((bri, align_fn(*assemble(bri, best_pos[bri]))))
+        for bri, out in pending:
+            ops = np.asarray(out["cigar_ops"])
+            runs = np.asarray(out["cigar_runs"])
+            for bi, ri in enumerate(bri):
+                best_rec[int(ri)] = (ops[bi], runs[bi])
+    for ri in mapped:
+        c = int(best_cost[ri])
+        best[ri] = dict(
+            read=int(ri),
+            pos=int(best_pos[ri]),
+            cost=c,
+            cigar=runs_to_cigar(*best_rec[ri]),
+            mapq=60 + c,  # reference quirk, main.cpp:96
+        )
 
     names = read_names or [f"read{i}" for i in range(n_reads)]
     lines = [

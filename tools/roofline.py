@@ -46,49 +46,54 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # ---------------------------------------------------------------- micro
-def vpu_peak_measure(iters=20000, streams=8, unroll=4, reps=5):
+def vpu_peak_measure(iters=4_000_000, streams=8, unroll=4, reps=5):
     """Measured int32 vector-issue rate (vreg-ops/s, one (8,128) int32
-    op = 1 vreg-op). Independent accumulator streams hide latency."""
+    op = 1 vreg-op). Independent accumulator streams hide latency.
+    Two-point slope (iters vs 2*iters) cancels the ~25 ms tunnel
+    roundtrip and any fixed dispatch overhead exactly."""
 
-    def kernel(x_ref, o_ref, acc):
-        for s in range(streams):
-            acc[s] = x_ref[...] + s
-
-        def body(i, _):
+    def make(n):
+        def kernel(x_ref, o_ref, acc):
             for s in range(streams):
-                v = acc[s]
-                for _ in range(unroll):
-                    v = v + jnp.int32(1)
-                    v = v ^ jnp.int32(12345)
-                acc[s] = v
-            return 0
+                acc[s] = x_ref[...] + s
 
-        jax.lax.fori_loop(0, iters, body, 0)
-        out = acc[0]
-        for s in range(1, streams):
-            out = out ^ acc[s]
-        o_ref[...] = out
+            def body(i, _):
+                for s in range(streams):
+                    v = acc[s]
+                    for _ in range(unroll):
+                        v = v + jnp.int32(1)
+                        v = v ^ jnp.int32(12345)
+                    acc[s] = v
+                return 0
+
+            jax.lax.fori_loop(0, n, body, 0, unroll=False)
+            out = acc[0]
+            for s in range(1, streams):
+                out = out ^ acc[s]
+            o_ref[...] = out
+
+        return jax.jit(pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((streams, 8, 128), jnp.int32)],
+        ))
 
     x = jnp.zeros((8, 128), jnp.int32)
-    fn = pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((streams, 8, 128), jnp.int32)],
-    )
-    fn = jax.jit(fn)
-    int(np.asarray(fn(x)).sum())  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        int(np.asarray(fn(x)).sum())
-        best = min(best, time.perf_counter() - t0)
-    # ~25-30 ms of the wall is the axon tunnel roundtrip; subtract the
-    # measured empty-dispatch floor
-    floor = dispatch_floor()
-    ops = iters * streams * unroll * 2  # two ops per unroll step
-    return ops / max(best - floor, 1e-9), best, floor
+    walls = []
+    for n in (iters, 2 * iters):
+        fn = make(n)
+        int(np.asarray(fn(x)).sum())  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(np.asarray(fn(x)).sum())
+            best = min(best, time.perf_counter() - t0)
+        walls.append(best)
+    ops = iters * streams * unroll * 2  # ops in the SLOPE region
+    dt = max(walls[1] - walls[0], 1e-9)
+    return ops / dt, walls, dispatch_floor()
 
 
 _FLOOR = None
@@ -111,41 +116,49 @@ def dispatch_floor(reps=5):
     return best
 
 
-def hbm_stream_measure(mb=2048, reps=3):
-    """Measured HBM read rate: fold a big uint32 array into one vreg."""
-    rows = mb * (1 << 20) // (4 * 128 * 8)
+def hbm_stream_measure(mb=4096, reps=5):
+    """Measured HBM read rate: fold a big uint32 array into one vreg.
+    Two-point slope (mb vs 2*mb arrays) cancels dispatch overhead."""
     TS = 512  # sublane rows per grid step
 
-    def kernel(x_ref, o_ref):
-        i = pl.program_id(0)
-        acc = x_ref[0]
-        for r in range(1, TS // 8):
-            acc = acc ^ x_ref[r]
+    def make(rows):
+        def kernel(x_ref, o_ref):
+            i = pl.program_id(0)
+            acc = x_ref[0]
+            for r in range(1, TS // 8):
+                acc = acc ^ x_ref[r]
 
-        @pl.when(i == 0)
-        def _():
-            o_ref[...] = jnp.zeros_like(acc)
+            @pl.when(i == 0)
+            def _():
+                o_ref[...] = jnp.zeros_like(acc)
 
-        o_ref[...] = o_ref[...] ^ acc
+            o_ref[...] = o_ref[...] ^ acc
 
-    x = jnp.zeros((rows, 8, 128), jnp.uint32)
-    fn = jax.jit(pl.pallas_call(
-        kernel,
-        grid=(rows // (TS // 8),),
-        in_specs=[pl.BlockSpec((TS // 8, 8, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint32),
-    ))
-    int(np.asarray(fn(x)).sum())
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
+        return jax.jit(pl.pallas_call(
+            kernel,
+            grid=(rows // (TS // 8),),
+            in_specs=[pl.BlockSpec((TS // 8, 8, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint32),
+        ))
+
+    walls = []
+    for m in (mb, 2 * mb):
+        rows = m * (1 << 20) // (4 * 128 * 8)
+        x = jnp.zeros((rows, 8, 128), jnp.uint32)
+        fn = make(rows)
         int(np.asarray(fn(x)).sum())
-        best = min(best, time.perf_counter() - t0)
-    byts = rows * 8 * 128 * 4
-    return byts / max(best - dispatch_floor(), 1e-9), best
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(np.asarray(fn(x)).sum())
+            best = min(best, time.perf_counter() - t0)
+        walls.append(best)
+        del x
+    byts = mb * (1 << 20)  # bytes in the slope region
+    return byts / max(walls[1] - walls[0], 1e-9), walls
 
 
 # ------------------------------------------------------- jaxpr counting
@@ -321,13 +334,13 @@ def main():
     if "micro" in which:
         floor = dispatch_floor()
         print(f"dispatch floor: {floor*1e3:.1f} ms", file=sys.stderr)
-        vpu, wall, _ = vpu_peak_measure()
-        print(f"VPU int32 issue rate: {vpu/1e9:.1f} G vreg-ops/s "
-              f"({vpu*1024/1e12:.1f} T lane-ops/s; wall {wall*1e3:.1f} ms)",
-              file=sys.stderr)
-        hbm, wall = hbm_stream_measure()
-        print(f"HBM stream rate: {hbm/2**30:.0f} GiB/s "
-              f"(wall {wall*1e3:.1f} ms)", file=sys.stderr)
+        vpu, walls, _ = vpu_peak_measure()
+        print(f"VPU int32 issue rate: {vpu/1e9:.2f} G vreg-ops/s "
+              f"({vpu*1024/1e12:.2f} T lane-ops/s; walls "
+              f"{[round(w*1e3,1) for w in walls]} ms)", file=sys.stderr)
+        hbm, walls = hbm_stream_measure()
+        print(f"HBM stream rate: {hbm/1e9:.0f} GB/s (walls "
+              f"{[round(w*1e3,1) for w in walls]} ms)", file=sys.stderr)
         print(json.dumps({"vpu_vreg_ops_per_sec": round(vpu, 1),
                           "hbm_bytes_per_sec": round(hbm, 1)}))
     if vpu is None:
