@@ -31,6 +31,7 @@ from asm_tpu.parallel.runner import (
 from asm_tpu.parallel.schedule import (
     difficulty_proxy,
     difficulty_order,
+    quantized_step_bounds,
     inverse_permutation,
 )
 
@@ -45,5 +46,6 @@ __all__ = [
     "BatchStats",
     "difficulty_proxy",
     "difficulty_order",
+    "quantized_step_bounds",
     "inverse_permutation",
 ]

@@ -343,11 +343,9 @@ def main():
         # shares the cold run's max_steps=32 program — a fresh driver
         # environment compiles NOTHING new on its second (sorted) run,
         # and the bounds stay stable across corpus regeneration noise
-        new_bounds = [
-            max(4, 1 << int(srt[i * chunk:(i + 1) * chunk].max() + 2 - 1)
-                .bit_length())
-            for i in range(n_chunks)
-        ]
+        from asm_tpu.parallel import quantized_step_bounds
+
+        new_bounds = quantized_step_bounds(srt, chunk)
         np.savez(order_cache, perm=np.asarray(perm)[order],
                  bounds=np.asarray(new_bounds))
         print(f"steps order cache written: bounds {new_bounds}",

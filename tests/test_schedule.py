@@ -63,3 +63,22 @@ def test_proxy_orders_tiles_by_steps():
     prox = difficulty_proxy(rc, rl, fc, fl)[perm].astype(np.float64)
     corr = np.corrcoef(prox, steps)[0, 1]
     assert corr > 0.3, f"proxy/steps correlation too weak: {corr:.3f}"
+
+
+def test_quantized_step_bounds():
+    """Bench cold-start contract: bounds are pow2, strictly above the
+    measured max, floored at 4 — the hot chunk lands on the same
+    max_steps a cold heuristic run compiles (32 for the benchmark
+    corpus), so the driver's second run compiles nothing new."""
+    import numpy as np
+
+    from asm_tpu.parallel import quantized_step_bounds
+
+    steps = np.sort(np.concatenate([
+        np.full(100, 3), np.full(100, 27)
+    ]))
+    bounds = quantized_step_bounds(steps, 100)
+    assert bounds == [8, 32]
+    for b, mx in zip(bounds, (3, 27)):
+        assert b > mx and (b & (b - 1)) == 0
+    assert quantized_step_bounds(np.zeros(10, np.int32), 10) == [4]
