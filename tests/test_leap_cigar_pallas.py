@@ -140,3 +140,33 @@ def test_cigar_auto_xla_fallback():
     corpus = generate_dataset_arrays(32, 100, 0.15, 0.9, seed=63)
     out = _auto_vs_xla(cfg, corpus, vmem_budget=1024)
     assert "edit_rec" not in out
+
+
+def test_cigar_auto_planes_tiled_staged():
+    """leap_cigar_auto on the production tile-major staged corpus: the
+    penalty pass runs at the staged tile, the CIGAR pass may sub-tile
+    the same blocks; bit-equal to the [B, L] path."""
+    from asm_tpu.data.generator import generate_dataset_arrays
+    from asm_tpu.kernels.greedy_pallas import _TILE, stage_planes_tiled_t
+    from asm_tpu.kernels.leap_pallas import leap_cigar_auto, leap_cigar_vmem_bytes
+    import dataclasses
+
+    cfg = AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=60,
+                      max_len=128)
+    B = _TILE
+    rc, rl, fc, fl = generate_dataset_arrays(B, 100, 0.15, 0.9, seed=64)
+    want = _auto_vs_xla(cfg, (rc, rl, fc, fl))
+    # budget that forces a sub-tile of the staged block
+    probe = dataclasses.replace(cfg, leap_max_energy=32)
+    budget = leap_cigar_vmem_bytes(probe, _TILE // 2)
+    got = leap_cigar_auto(
+        jnp.asarray(stage_planes_tiled_t(rc)), jnp.asarray(rl),
+        jnp.asarray(stage_planes_tiled_t(fc)), jnp.asarray(fl),
+        cfg, interpret=True, pre_staged="planes_tiled",
+        vmem_budget=budget, bucket=32,
+    )
+    np.testing.assert_array_equal(np.asarray(got["passed"]),
+                                  np.asarray(want["passed"]))
+    np.testing.assert_array_equal(np.asarray(got["penalty"]),
+                                  np.asarray(want["penalty"]))
+    assert got["cigars"] == want["cigars"]

@@ -120,3 +120,17 @@ def test_partitioned_pre_staged_planes():
         pre_staged=True, interpret=True,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_partitioned_variable_length():
+    """Band partitioning on a variable-length corpus (the generator's
+    length_range mode) — destinations off the main diagonal exercise
+    the |m-n| band interaction."""
+    from asm_tpu.kernels.nw_band import nw_penalty_partitioned
+
+    corpus = generate_dataset_arrays(96, 100, 0.12, 0.8, seed=95,
+                                     length_range=(40, 120))
+    a = [jnp.asarray(v) for v in corpus]
+    want = np.asarray(nw_penalty(*a))
+    got = nw_penalty_partitioned(*corpus, interpret=True)
+    np.testing.assert_array_equal(got, want)
