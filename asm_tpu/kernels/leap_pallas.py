@@ -277,29 +277,36 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
         pending = jnp.sum(1 - st_ref[0])
         return (e <= af) & (pending > 0)
 
-    def body(e):
+    def level(e, ok_go, ok_ge, ok_ms):
+        """One energy level. `e` is traced int32 in the steady-state
+        while loop (where every ok_* is statically True) or a Python int
+        in the PEELED levels e = 1..R-1 — there the ok_* flags are
+        Python bools, so the per-lane `not yet reachable` selects fold
+        away at trace time. Measured on the op-count model: the folded
+        selects are ~1/3 of the steady body, and e >= R makes them all
+        true, so the old dynamic `jnp.where(e >= go, ...)` paid that
+        cost on EVERY level."""
         passed = st_ref[0] != 0
         act = ~passed
 
         r_go = (e - go) % R
         r_ge = (e - ge) % R
         r_ms = (e - ms) % R
-        ok_go = e >= go
-        ok_ge = e >= ge
-        ok_ms = e >= ms
 
         # read previous rows (lane-shifted accesses are static unrolls);
         # border lanes are never written past init, so their rows are the
         # UNREACHED constant — letting the edge-interior lanes' I/D
         # recurrences constant-fold at trace time
-        def rows(plane, r):
+        def rows(plane, r, ok):
+            if ok is False:  # peeled level below the cost: never read
+                return [unreached] * TL
             return [unreached if l in (0, TL - 1) else hist_ref[plane, r, l]
                     for l in range(TL)]
 
-        end_go = rows(0, r_go)
-        i_ge = rows(1, r_ge)
-        d_ge = rows(2, r_ge)
-        end_ms = rows(0, r_ms)
+        end_go = rows(0, r_go, ok_go)
+        i_ge = rows(1, r_ge, ok_ge)
+        d_ge = rows(2, r_ge, ok_ge)
+        end_ms = rows(0, r_ms, ok_ms)
 
         new_end, new_i, new_d, new_start = [], [], [], []
         conv = []
@@ -313,22 +320,22 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
                 continue
             top = 1 if l >= mid else 0
             bot = 1 if l <= mid else 0
-            end_up = jnp.where(ok_go, end_go[l - 1], UNREACHED)
-            i_up = jnp.where(ok_ge, i_ge[l - 1], UNREACHED)
+            end_up = end_go[l - 1] if ok_go else unreached
+            i_up = i_ge[l - 1] if ok_ge else unreached
             i_new = jnp.where(
                 (end_up >= 0) & (end_up > i_up),
                 end_up + top,
                 jnp.where(i_up >= 0, i_up + top, UNREACHED),
             )
-            end_dn = jnp.where(ok_go, end_go[l + 1], UNREACHED)
-            d_dn = jnp.where(ok_ge, d_ge[l + 1], UNREACHED)
+            end_dn = end_go[l + 1] if ok_go else unreached
+            d_dn = d_ge[l + 1] if ok_ge else unreached
             d_new = jnp.where(
                 (end_dn >= 0) & (end_dn > d_dn),
                 end_dn + bot,
                 jnp.where(d_dn >= 0, d_dn + bot, UNREACHED),
             )
-            s_ms = jnp.where(ok_ms & (end_ms[l] >= 0), end_ms[l] + 1,
-                             UNREACHED)
+            s_ms = (jnp.where(end_ms[l] >= 0, end_ms[l] + 1, UNREACHED)
+                    if ok_ms else unreached)
             start_new = jnp.maximum(s_ms, jnp.maximum(i_new, d_new))
             end_new = jnp.where(
                 start_new >= 0, count_id(l, start_new), UNREACHED
@@ -404,16 +411,33 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
         if want_cigar:
             # park this energy row for the backtrack walk (rows past a
             # pair's own final energy hold junk and are never read)
-            @pl.when(e <= E)
-            def _():
+            def park():
                 base = e * TL
                 for l in range(TL):
                     bt_ref[pl.ds(base + l, 1)] = pack4(
                         new_start[l], new_end[l], new_i[l], new_d[l]
                     )[None]
+
+            if isinstance(e, int):
+                if e <= E:
+                    park()
+            else:
+                pl.when(e <= E)(park)
+
+    def body(e):
+        level(e, True, True, True)
         return e + 1
 
-    jax.lax.while_loop(cond, body, jnp.int32(1))
+    # peel levels 1..R-1 (static: the reachability selects fold away;
+    # skipped entirely when every pair already stopped at e=0, e.g.
+    # SHD-gated or converged batches)
+    for pe in range(1, min(R - 1, af) + 1):
+        @pl.when(jnp.sum(1 - st_ref[0]) > 0)
+        def _(pe=pe):
+            level(pe, pe >= go, pe >= ge, pe >= ms)
+
+    # steady state: e >= R > max(go, ge, ms) makes every level reachable
+    jax.lax.while_loop(cond, body, jnp.int32(max(R, 1)))
 
     passed_ref[...] = st_ref[3]
     pen_ref[...] = st_ref[1]
