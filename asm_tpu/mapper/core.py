@@ -28,7 +28,7 @@ import numpy as np
 from asm_tpu.config import AlignConfig
 from asm_tpu.encoding import PAD_REF
 from asm_tpu.kernels.greedy import greedy_align
-from asm_tpu.native import FMIndex, load_native
+from asm_tpu.native import FMIndex
 
 
 @dataclasses.dataclass(frozen=True)
