@@ -25,11 +25,14 @@ import os
 import sys
 import time
 
-# 4096-pair grid tiles measured fastest on the v5e with the tile-major
-# layout (leap 541.9M vs 490.0M; gated 698.0M vs 654.1M; cigar 375.0M
-# vs 286.7M aligns/s) — must be set before asm_tpu imports
-os.environ.setdefault("ASM_GREEDY_TILE", "4096")
-os.environ.setdefault("ASM_LEAP_TILE", "4096")
+# 8192-pair grid tiles measured fastest for the LEAP family on the v5e
+# with the tile-major layout + measured-energy order (leap 707.2M vs
+# 697.6M; cigar 506.9M vs 484.7M; gated 779.8M vs 761.8M aligns/s at
+# 4096) — must be set before asm_tpu imports, and the two must match
+# (the staged block size comes from the greedy module; the LEAP kernel
+# sub-tiles it when the CIGAR history needs a smaller grid tile)
+os.environ.setdefault("ASM_GREEDY_TILE", "8192")
+os.environ.setdefault("ASM_LEAP_TILE", "8192")
 
 import jax
 import jax.numpy as jnp
