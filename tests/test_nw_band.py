@@ -134,3 +134,28 @@ def test_partitioned_variable_length():
     want = np.asarray(nw_penalty(*a))
     got = nw_penalty_partitioned(*corpus, interpret=True)
     np.testing.assert_array_equal(got, want)
+
+
+def test_bw8_stage_and_partition():
+    """BW=8 (16 pairs per register row) joins the band set: certified
+    pairs (pen < o + 3e) are exact; the partitioned driver with the
+    extended stage list stays bit-equal on a mixed corpus."""
+    from asm_tpu.kernels.nw_band import (band_certified,
+                                         nw_penalty_banded,
+                                         nw_penalty_partitioned,
+                                         required_band)
+
+    corpus = _mixed_corpus(seed=99)
+    a = [jnp.asarray(v) for v in corpus]
+    want = np.asarray(nw_penalty(*a))
+    p8 = np.asarray(nw_penalty_banded(*a, bw=8, interpret=True))
+    c8 = np.asarray(band_certified(p8, 8))
+    assert 0 < c8.sum() < len(c8)  # mixed: some certify, some do not
+    np.testing.assert_array_equal(p8[c8], want[c8])
+    got = nw_penalty_partitioned(*corpus, bws=(8, 16, 32, 64),
+                                 interpret=True)
+    np.testing.assert_array_equal(got, want)
+    bands = required_band(want, bws=(8, 16, 32, 64))
+    got2 = nw_penalty_partitioned(*corpus, bws=(8, 16, 32, 64),
+                                  bands=bands, interpret=True)
+    np.testing.assert_array_equal(got2, want)

@@ -353,7 +353,7 @@ def main():
         # ran first in the same invocation); an order mismatch is caught
         # by the in-run certification assert and self-heals by restart
         band_cache = os.path.join(
-            repo, "bench_cache", f"nwbands_{n_pairs}_{err}_v1.npz")
+            repo, "bench_cache", f"nwbands_{n_pairs}_{err}_v2.npz")
         if os.path.exists(band_cache):
             bands = np.load(band_cache)["bands"]
             print(f"nw band cache: {band_cache}", file=sys.stderr)
@@ -363,7 +363,8 @@ def main():
                 np.asarray(astep(*c)[0])
                 for c in slice_chunks(rc_t, rl, fc_t, fl, nw_chunk)
             ])
-            bands = required_band(pen, o=cfg.o, e=cfg.e)
+            bands = required_band(pen, o=cfg.o, e=cfg.e,
+                                  bws=(8, 16, 32, 64))
             np.savez(band_cache, bands=bands)
             print(f"nw band pass: {time.perf_counter() - t0:.1f}s "
                   f"dist {dict(zip(*np.unique(bands, return_counts=True)))}",
@@ -399,7 +400,7 @@ def main():
 
         steps, chunks = [], []
         W2 = rc_t.shape[0]
-        for bw in (16, 32, 64, 0):
+        for bw in (8, 16, 32, 64, 0):
             sel = np.nonzero(bands2 == bw)[0]
             if sel.size == 0:
                 continue
