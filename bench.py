@@ -350,6 +350,16 @@ def main():
                  bounds=np.asarray(new_bounds))
         print(f"steps order cache written: bounds {new_bounds}",
               file=sys.stderr)
+        # a COLD environment's first run measured with only the
+        # heuristic sort (~15-20% below the measured-order number);
+        # restart once so a single invocation still reports the real
+        # headline (the restart loads the cache just written; all
+        # programs are in the committed seed, so no recompiles)
+        if not os.environ.get("ASM_BENCH_RESTARTED"):
+            print("restarting with the measured-steps order",
+                  file=sys.stderr)
+            os.environ["ASM_BENCH_RESTARTED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
 
     aligns_per_sec = n_pairs / best
     print(json.dumps({
