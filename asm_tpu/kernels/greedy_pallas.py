@@ -686,19 +686,26 @@ def stage_planes_t(codes, perm=None) -> "np.ndarray":
     return out
 
 
-def stage_planes_tiled_t(codes, perm=None) -> "np.ndarray":
-    """Tile-major variant of stage_planes_t: uint32[NBT, L//16, _TILE]
-    (NBT = ceil(B/_TILE), zero-padded tail tile) — each kernel grid
-    step's whole plane block is one contiguous range, which streams ~5x
-    faster than the position-major layout's 2W strided rows per block
-    (measured on the v5e). Consumed by pre_staged="planes_tiled"."""
+def stage_planes_tiled_t(codes, perm=None, tile: int | None = None
+                         ) -> "np.ndarray":
+    """Tile-major variant of stage_planes_t: uint32[NBT, L//16, tile]
+    (NBT = ceil(B/tile), zero-padded tail tile; tile defaults to the
+    module _TILE) — each kernel grid step's whole plane block is one
+    contiguous range, which streams ~5x faster than the position-major
+    layout's 2W strided rows per block (measured on the v5e). Consumed
+    by pre_staged="planes_tiled". Stage at the GRID tile the kernel
+    will actually run: a grid tile smaller than the staged block reads
+    strided sub-slices (~30% slower on full chunks) — high-energy
+    CIGAR passes should restage at leap_cigar_tile's choice."""
     import numpy as np
 
+    _T = _TILE if tile is None else tile
+    assert _T % 128 == 0
     arr = np.ascontiguousarray(np.asarray(codes, dtype=np.int8))
     B, L = arr.shape
     assert L % 32 == 0
     W = L // 32
-    NBT = -(-B // _TILE)
+    NBT = -(-B // _T)
     sw = arr.view(np.uint32)
     if perm is not None:
         perm = np.ascontiguousarray(np.asarray(perm, dtype=np.int64))
@@ -711,19 +718,19 @@ def stage_planes_tiled_t(codes, perm=None) -> "np.ndarray":
 
         from asm_tpu.utils.hostmem import host_array
 
-        out = host_array((NBT, 2 * W, _TILE), np.uint32)  # mmap zeros
+        out = host_array((NBT, 2 * W, _T), np.uint32)  # mmap zeros
         pp = (ctypes.c_void_p(perm.ctypes.data) if perm is not None
               else ctypes.c_void_p(None))
-        lib.asm_stage_planes_tiled_t(sw, pp, B, W, _TILE, out, 0)
+        lib.asm_stage_planes_tiled_t(sw, pp, B, W, _T, out, 0)
         return out
     flat = stage_planes_t(codes, perm=perm)  # [2W, B]
-    out = np.zeros((NBT, 2 * W, _TILE), np.uint32)
+    out = np.zeros((NBT, 2 * W, _T), np.uint32)
     full = flat.reshape(2 * W, -1)
-    nfull = B // _TILE
-    out[:nfull] = full[:, :nfull * _TILE].reshape(
-        2 * W, nfull, _TILE).transpose(1, 0, 2)
-    if B % _TILE:
-        out[nfull, :, :B - nfull * _TILE] = full[:, nfull * _TILE:]
+    nfull = B // _T
+    out[:nfull] = full[:, :nfull * _T].reshape(
+        2 * W, nfull, _T).transpose(1, 0, 2)
+    if B % _T:
+        out[nfull, :, :B - nfull * _T] = full[:, nfull * _T:]
     return out
 
 

@@ -246,11 +246,8 @@ def main():
             print(f"{name} energy pass: per-chunk bounds {bounds} "
                   f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
-            def make_cstep(E):
+            def make_cstep(E, tile):
                 ccfg = dataclasses.replace(pcfg, leap_max_energy=E)
-                tile = leap_cigar_tile(ccfg)
-                assert tile is not None, (E, "history exceeds VMEM at "
-                                          "any tile; use the XLA path")
                 cb = jax.jit(functools.partial(
                     leap_align_pallas, cfg=ccfg,
                     pre_staged="planes_tiled", want_cigar=True,
@@ -266,12 +263,48 @@ def main():
 
                 return cstep
 
+            # a chunk whose VMEM-sized grid tile is SMALLER than the
+            # staged block would read strided sub-slices (~30% slower,
+            # measured); restage those chunks tile-matched instead
+            # (untimed prep, one extra staging per distinct tile)
+            tiles = []
+            for E in bounds:
+                t = leap_cigar_tile(dataclasses.replace(
+                    pcfg, leap_max_energy=E))
+                assert t is not None, (E, "history exceeds VMEM at any "
+                                      "tile; use the XLA path")
+                tiles.append(t)
+            by_tile_stage = {}
+            cchunks = list(chunks)
+            for i, t in enumerate(tiles):
+                if t == _TILE:
+                    continue
+                if t not in by_tile_stage:
+                    t0 = time.perf_counter()
+                    by_tile_stage[t] = (
+                        stage_planes_tiled_t(rc, perm=perm, tile=t),
+                        stage_planes_tiled_t(fc, perm=perm, tile=t),
+                    )
+                    print(f"{name} restage at tile {t}: "
+                          f"{time.perf_counter() - t0:.1f}s",
+                          file=sys.stderr)
+                rct, fct = by_tile_stage[t]
+                lo = i * chunk
+                cchunks[i] = (
+                    jax.device_put(np.ascontiguousarray(
+                        rct[lo // t:(lo + chunk) // t])),
+                    jax.device_put(rl[lo:lo + chunk]),
+                    jax.device_put(np.ascontiguousarray(
+                        fct[lo // t:(lo + chunk) // t])),
+                    jax.device_put(fl[lo:lo + chunk]),
+                )
+
             by_bound = {}
             csteps = []
-            for E in bounds:
-                if E not in by_bound:
-                    by_bound[E] = make_cstep(E)
-                csteps.append(by_bound[E])
+            for E, t in zip(bounds, tiles):
+                if (E, t) not in by_bound:
+                    by_bound[(E, t)] = make_cstep(E, t)
+                csteps.append(by_bound[(E, t)])
 
             def check(outs):
                 maxps = [int(np.asarray(o[2])) for o in outs]
@@ -280,7 +313,8 @@ def main():
                 for got_, e_ in zip(maxps, bounds):
                     assert got_ <= e_, "energy bound too tight for corpus"
 
-            run(name, csteps, chunks, 1, post=check)
+            run(name, csteps, cchunks, 1, post=check)
+            del cchunks, by_tile_stage
 
         if "leap_gated" in which:
             # SHD-gated SIMD_ED-levenshtein filter, gate IN-KERNEL (one
