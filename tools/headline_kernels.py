@@ -450,7 +450,13 @@ def main():
                 ))
                 continue
             size = hi - lo
-            c_sz = min(nw_chunk, size)
+            # wide bands build ~bw*16 B/pair of mismatch planes per
+            # dispatch (BW=64: 2 KB/pair) — cap chunk sizes so a
+            # partition's planes stay ~4 GB and big-corpus runs don't
+            # exhaust HBM (cf. nw_penalty_auto's _map_subbatches caps)
+            bw_cap = {8: nw_chunk, 16: nw_chunk,
+                      32: 1 << 22, 64: 1 << 21}[bw]
+            c_sz = min(nw_chunk, bw_cap, size)
             padc = (-size) % c_sz
             # pad the partition to whole chunks with zero-length pairs
             # (pen 0, certified) so each band compiles ONE program
