@@ -163,3 +163,25 @@ def test_leap_pallas_tiled_staged_subtile():
         np.testing.assert_array_equal(
             np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
         )
+
+
+def test_stage_planes_tiled_custom_tile():
+    """stage_planes_tiled_t(tile=...) (the tile-matched restaging the
+    high-energy CIGAR headline uses) must be bit-equal to the [B, L]
+    path when the kernel runs that same grid tile."""
+    from asm_tpu.kernels.greedy_pallas import stage_planes_tiled_t
+
+    cfg = AlignConfig(leap_af_threshold=40)
+    rc, rl, fc, fl = generate_dataset_arrays(3000, 100, 0.15, 0.8,
+                                             seed=19)
+    a = [jnp.asarray(v) for v in (rc, rl, fc, fl)]
+    ref = leap_align_pallas(*a, cfg, interpret=True)
+    got = leap_align_pallas(
+        jnp.asarray(stage_planes_tiled_t(rc, tile=1024)), a[1],
+        jnp.asarray(stage_planes_tiled_t(fc, tile=1024)), a[3],
+        cfg, interpret=True, pre_staged="planes_tiled", tile=1024,
+    )
+    for key in ("passed", "penalty", "lane_shift"):
+        np.testing.assert_array_equal(
+            np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+        )
