@@ -80,6 +80,7 @@ def main():
                                       mismatch_rate=0.96, seed=42,
                                       max_len=cfg.max_len)
     rc, rl, fc, fl = got
+    rl_orig, fl_orig = rl, fl  # unpermuted (sorts re-derive from these)
     print(f"corpus ready: {n_pairs} pairs err={err}", file=sys.stderr)
 
     # difficulty-ordered scheduling, as in bench.py: LEAP tiles exit at
@@ -148,7 +149,7 @@ def main():
             perm = np.load(esort_cache)["perm"]
             from asm_tpu.utils.hostmem import take_rows
 
-            rl, fl = take_rows(got[1], perm), take_rows(got[3], perm)
+            rl, fl = take_rows(rl_orig, perm), take_rows(fl_orig, perm)
             print(f"leap energy-order cache: {esort_cache}",
                   file=sys.stderr)
 
@@ -191,7 +192,7 @@ def main():
             np.savez(esort_cache, perm=perm)
             from asm_tpu.utils.hostmem import take_rows
 
-            rl, fl = take_rows(got[1], perm), take_rows(got[3], perm)
+            rl, fl = take_rows(rl_orig, perm), take_rows(fl_orig, perm)
             rc_t = stage_planes_tiled_t(rc, perm=perm)
             fc_t = stage_planes_tiled_t(fc, perm=perm)
             del chunks
