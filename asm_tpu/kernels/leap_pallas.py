@@ -320,20 +320,19 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
                 continue
             top = 1 if l >= mid else 0
             bot = 1 if l <= mid else 0
+            # the reference picks end over I_pos only when end is
+            # reachable AND strictly further (LV_BAG.cpp run); on the
+            # value domain {UNREACHED} u [0, inf) that whole selection
+            # is just the max, advanced when reachable — ties land on
+            # the same value either way
             end_up = end_go[l - 1] if ok_go else unreached
             i_up = i_ge[l - 1] if ok_ge else unreached
-            i_new = jnp.where(
-                (end_up >= 0) & (end_up > i_up),
-                end_up + top,
-                jnp.where(i_up >= 0, i_up + top, UNREACHED),
-            )
+            i_cand = jnp.maximum(end_up, i_up)
+            i_new = jnp.where(i_cand >= 0, i_cand + top, UNREACHED)
             end_dn = end_go[l + 1] if ok_go else unreached
             d_dn = d_ge[l + 1] if ok_ge else unreached
-            d_new = jnp.where(
-                (end_dn >= 0) & (end_dn > d_dn),
-                end_dn + bot,
-                jnp.where(d_dn >= 0, d_dn + bot, UNREACHED),
-            )
+            d_cand = jnp.maximum(end_dn, d_dn)
+            d_new = jnp.where(d_cand >= 0, d_cand + bot, UNREACHED)
             s_ms = (jnp.where(end_ms[l] >= 0, end_ms[l] + 1, UNREACHED)
                     if ok_ms else unreached)
             start_new = jnp.maximum(s_ms, jnp.maximum(i_new, d_new))
@@ -398,16 +397,17 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
         st_ref[1] = jnp.where(fresh, pen_now, st_ref[1])
         st_ref[2] = jnp.where(fresh, lane_now, st_ref[2])
 
-        # freeze history of already-passed pairs (border lanes hold the
-        # UNREACHED constant forever — no write needed)
+        # history rows are written UNCONDITIONALLY: a stopped pair's
+        # outputs are latched in st_ref and its CIGAR history parked in
+        # bt_ref the level it happened, so its evolving wavefront rows
+        # are never read again (values stay bounded: end <= buflen,
+        # I/D grow <= 1/level <= L + af) — the old per-pair freeze
+        # (3 reads + 3 selects per lane per level) was dead weight
         r = e % R
         for l in range(1, TL - 1):
-            old_e = hist_ref[0, r, l]
-            old_i = hist_ref[1, r, l]
-            old_d = hist_ref[2, r, l]
-            hist_ref[0, r, l] = jnp.where(act, new_end[l], old_e)
-            hist_ref[1, r, l] = jnp.where(act, new_i[l], old_i)
-            hist_ref[2, r, l] = jnp.where(act, new_d[l], old_d)
+            hist_ref[0, r, l] = new_end[l]
+            hist_ref[1, r, l] = new_i[l]
+            hist_ref[2, r, l] = new_d[l]
         if want_cigar:
             # park this energy row for the backtrack walk (rows past a
             # pair's own final energy hold junk and are never read)
