@@ -77,6 +77,8 @@ def aligned_strings(read: str, ref: str, cigar: str) -> tuple[str, str]:
     """
     import re
 
+    if re.fullmatch(r"(?:\d+[MIDX=])*", cigar) is None:
+        raise ValueError(f"unrecognized CIGAR syntax or op: {cigar!r}")
     a_row, b_row = [], []
     ai = bi = 0
     for count, op in re.findall(r"(\d+)([MIDX=])", cigar):

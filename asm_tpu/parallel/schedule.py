@@ -84,8 +84,10 @@ def quantized_step_bounds(steps: np.ndarray, chunk: int,
     (heuristic-sort) run compiles, so a wiped environment's second run
     compiles nothing new. The bound strictly exceeds the measured max
     (+`slack` before rounding), preserving the truncation-assert
-    contract."""
-    n_chunks = len(steps) // chunk
+    contract. A trailing partial chunk gets its own bound (bench.py's
+    corpora divide evenly, but an external caller's need not — silently
+    dropping tail pairs would break the truncation contract for them)."""
+    n_chunks = -(-len(steps) // chunk)
     return [
         max(floor,
             1 << int(steps[i * chunk:(i + 1) * chunk].max() + slack - 1)

@@ -290,6 +290,13 @@ def main():
                           f"{time.perf_counter() - t0:.1f}s",
                           file=sys.stderr)
                 rct, fct = by_tile_stage[t]
+                # the restage slices whole tile-major blocks: a hand-set
+                # HK_CHUNK that is not a multiple of the shrunk tile
+                # must fail here with a clear message, not deep in the
+                # kernel's staging shape asserts
+                assert chunk % t == 0, (
+                    f"HK_CHUNK={chunk} is not a multiple of the "
+                    f"VMEM-shrunk CIGAR tile {t}")
                 lo = i * chunk
                 cchunks[i] = (
                     jax.device_put(np.ascontiguousarray(
