@@ -66,6 +66,12 @@ def _configure(lib):
         c.c_int32, c.c_int32, c.c_int32, u8p,
     ]
 
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.asm_cigar_strings.restype = c.c_int64
+    lib.asm_cigar_strings.argtypes = [
+        u16p, c.c_int64, c.c_int32, u8p, c.c_int64, i32p,
+    ]
+
     lib.asm_fm_build.restype = c.c_void_p
     lib.asm_fm_build.argtypes = [i8p, c.c_int64]
     lib.asm_fm_free.restype = None
@@ -260,6 +266,26 @@ def coverage_batch_native(read_codes, read_len, g_ops, g_runs, nw_cols,
         nw_cols.shape[1], threshold1, threshold2, covered,
     )
     return covered.astype(bool)
+
+
+def cigar_strings_packed(packed: np.ndarray) -> list[str]:
+    """Packed uint16 greedy records (op << 13 | run, the mapper's pull
+    format) -> CIGAR strings via the threaded native decoder. Falls back
+    to the NumPy path when the library is unavailable."""
+    lib = load_native(required=False)
+    n, slots = packed.shape
+    if lib is None:
+        from asm_tpu.ops.cigar import runs_to_cigars_batch
+        return runs_to_cigars_batch((packed >> 13).astype(np.int8),
+                                    (packed & 0x1FFF).astype(np.int32))
+    stride = 5 * slots
+    out = np.empty((n, stride), np.uint8)
+    lens = np.empty(n, np.int32)
+    lib.asm_cigar_strings(np.ascontiguousarray(packed, np.uint16), n,
+                          slots, out, stride, lens)
+    ob = out.tobytes()
+    return [ob[i * stride: i * stride + lens[i]].decode()
+            for i in range(n)]
 
 
 class FMIndex:

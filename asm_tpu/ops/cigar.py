@@ -54,9 +54,27 @@ def ops_to_cigar(ops: np.ndarray, reverse: bool = True) -> str:
 
 
 def batch_greedy_cigars(result: dict) -> list[str]:
-    ops = np.asarray(result["cigar_ops"])
-    runs = np.asarray(result["cigar_runs"])
-    return [runs_to_cigar(ops[b], runs[b]) for b in range(ops.shape[0])]
+    return runs_to_cigars_batch(result["cigar_ops"], result["cigar_runs"])
+
+
+_OP_LUT = np.array(["?", "=", "X", "I", "D", "M"], dtype="U1")
+
+
+def runs_to_cigars_batch(ops: np.ndarray, runs: np.ndarray) -> list[str]:
+    """Vectorized `runs_to_cigar` over a whole [N, C] slot batch.
+
+    One numpy pass builds every "<run><op>" token (np.nonzero order is
+    row-major, i.e. emission order), then each row joins its ~4 tokens —
+    ~20x less Python-level work than the per-slot scalar loop at mapper
+    scale (100k reads x 66 slots)."""
+    ops = np.asarray(ops)
+    runs = np.asarray(runs)
+    if ops.shape[0] == 0:
+        return []
+    valid = runs > 0
+    tok = np.char.add(runs[valid].astype("U11"), _OP_LUT[ops[valid]])
+    bounds = np.cumsum(valid.sum(axis=1))[:-1]
+    return ["".join(row) for row in np.split(tok, bounds)]
 
 
 def batch_nw_cigars(ops: np.ndarray) -> list[str]:

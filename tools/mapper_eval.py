@@ -83,9 +83,29 @@ def main(argv=None):
     # measured region (compile is one-time; the mapper reuses it)
     map_reads(idx, genome, reads[:8], lens[:8], mcfg=mcfg)
 
-    t0 = time.perf_counter()
-    best, sam = map_reads(idx, genome, reads, lens, mcfg=mcfg)
-    t_map = time.perf_counter() - t0
+    # two measured passes: the FIRST pays one-time device program load
+    # (each compiled program's first execution through the axon tunnel
+    # costs ~0.5 s regardless of the .jax_cache); the SECOND is the
+    # steady state a production mapper runs in — report both
+    t_cold = t_map = None
+    prof = {}
+    for label in ("cold", "steady"):
+        prof = {}
+        t0 = time.perf_counter()
+        best, sam = map_reads(idx, genome, reads, lens, mcfg=mcfg,
+                              profile=prof)
+        t = time.perf_counter() - t0
+        if label == "cold":
+            t_cold = t
+        else:
+            t_map = t
+        staged = sum(v for k, v in prof.items() if k.endswith("_s"))
+        print(f"[{label}] stage profile (s): " + "  ".join(
+            f"{k[:-2]}={v:.2f}" for k, v in prof.items()
+            if k.endswith("_s")) +
+            f"  [stages {staged:.2f} / wall {t:.2f}]  "
+            f"jobs={prof.get('n_jobs')} two_phase={prof.get('two_phase')}",
+            file=sys.stderr)
 
     hit = sum(b is not None for b in best)
     ok = np.array([
@@ -106,7 +126,8 @@ def main(argv=None):
         f"{recall:.4f} (eligible {recall_elig:.4f})  "
         f"mapq_quirk_ok {mapq_ok}  "
         f"cost mean {costs.mean():.2f} p50 {np.median(costs):.0f} "
-        f"max {costs.max()}  map wall {t_map:.1f}s = {rps:,.0f} reads/s",
+        f"max {costs.max()}  map wall {t_map:.1f}s (cold {t_cold:.1f}s) "
+        f"= {rps:,.0f} reads/s",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -119,7 +140,11 @@ def main(argv=None):
         "recall_eligible": round(recall_elig, 4),
         "unmapped": args.reads - hit,
         "index_build_s": round(t_index, 1),
+        "cold_map_s": round(t_cold, 1),
+        "cold_reads_per_sec": round(args.reads / t_cold, 1),
         "mapq_quirk_ok": mapq_ok,
+        "stage_profile_s": {k[:-2]: round(v, 3) for k, v in prof.items()
+                            if k.endswith("_s")},
     }))
 
 
