@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--pairs", type=int, default=256)
     ap.add_argument("--seed", type=int, default=77)
+    ap.add_argument("--reps", type=int, default=0,
+                    help="after the compile run, re-execute the pipeline "
+                         "this many times and record per-rep walls "
+                         "(scaling artifact, tools/scaling_eval.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -79,10 +83,19 @@ def main(argv=None):
 
     cfg = AlignConfig(x=1, o=1, e=1, k=3)
     pipeline = make_sharded_pipeline(mesh, cfg)
-    nw_pen, g_cost, l_pen, stats_vec = pipeline(
-        globalize(rc), globalize(rl), globalize(fc), globalize(fl)
-    )
+    g_in = (globalize(rc), globalize(rl), globalize(fc), globalize(fl))
+    nw_pen, g_cost, l_pen, stats_vec = pipeline(*g_in)
     stats = unpack_stats(np.asarray(stats_vec))
+
+    rep_walls = []
+    if args.reps:
+        import time
+
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = pipeline(*g_in)[-1]
+            np.asarray(out)  # forces the psum'd stats to host
+            rep_walls.append(time.perf_counter() - t0)
 
     with open(args.out, "w") as f:
         json.dump(
@@ -94,6 +107,8 @@ def main(argv=None):
                 stats=[int(v) for v in np.asarray(stats_vec)],
                 greedy_accuracy=stats.greedy_accuracy,
                 leap_accuracy=stats.leap_accuracy,
+                pairs_global=B,
+                rep_seconds=rep_walls,
             ),
             f,
         )

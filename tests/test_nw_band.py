@@ -159,3 +159,45 @@ def test_bw8_stage_and_partition():
     got2 = nw_penalty_partitioned(*corpus, bws=(8, 16, 32, 64),
                                   bands=bands, interpret=True)
     np.testing.assert_array_equal(got2, want)
+
+
+def test_dispatch_plan_execute_bit_equal():
+    """The SHARED production dispatch (nw_dispatch plan/execute — what
+    the harness sweep and the headline tool both time) is bit-equal to
+    the exact kernel on a mixed-difficulty corpus, in both layouts."""
+    from asm_tpu.kernels.greedy_pallas import stage_planes_t
+    from asm_tpu.kernels.nw_band import required_band
+    from asm_tpu.kernels.nw_dispatch import (nw_partition_execute,
+                                             nw_partition_plan)
+
+    easy = generate_dataset_arrays(300, 100, 0.05, 0.96, seed=31)
+    hard = generate_dataset_arrays(212, 100, 0.4, 0.5, seed=32)
+    corpus = tuple(np.concatenate([a, b]) for a, b in zip(easy, hard))
+    ref = np.asarray(nw_penalty(*map(jnp.asarray, corpus)))
+    bands = required_band(ref, bws=(8, 16, 32, 64))
+
+    plan = nw_partition_plan(*corpus, bands, max_chunk=128,
+                             interpret=True)
+    assert len(plan.chunks) > 1  # multiple partitions/chunks exercised
+    pen = nw_partition_execute(plan)
+    assert np.array_equal(pen, ref)
+
+    rc, rl, fc, fl = corpus
+    plan2 = nw_partition_plan(stage_planes_t(rc), rl, stage_planes_t(fc),
+                              fl, bands, max_chunk=256, pre_staged=True,
+                              interpret=True)
+    assert np.array_equal(nw_partition_execute(plan2), ref)
+
+
+def test_dispatch_bad_bands_fail_certificate():
+    """A too-narrow band assignment must FAIL the in-run certificate
+    loudly (the self-heal signal the artifact tools key on), never
+    return an uncertified penalty."""
+    from asm_tpu.kernels.nw_dispatch import (nw_partition_execute,
+                                             nw_partition_plan)
+
+    corpus = generate_dataset_arrays(64, 100, 0.4, 0.5, seed=33)
+    bands = np.full(64, 8, np.int32)  # deliberately too narrow
+    plan = nw_partition_plan(*corpus, bands, interpret=True)
+    with pytest.raises(ValueError, match="certificate"):
+        nw_partition_execute(plan)

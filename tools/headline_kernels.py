@@ -345,10 +345,7 @@ def main():
 
     if "nw" in which:
         from asm_tpu.kernels.greedy_pallas import stage_planes_t
-        from asm_tpu.kernels.nw_band import (band_certified,
-                                             nw_penalty_auto,
-                                             nw_penalty_banded,
-                                             required_band)
+        from asm_tpu.kernels.nw_band import nw_penalty_auto, required_band
 
         # the cascade consumes the shared pre-staged 2-bit-plane corpus
         # (64 B/pair on device instead of 256 B of codes + transposed
@@ -423,65 +420,17 @@ def main():
         print(f"nw band restage: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
 
-        def make_bstep(bw):
-            @jax.jit
-            def bstep(a, b, c, d):
-                p = nw_penalty_banded(a, b, c, d, bw=bw, x=cfg.x, o=cfg.o,
-                                      e=cfg.e, pre_staged=True)
-                ok = jnp.all(band_certified(p, bw, cfg.o, cfg.e)
-                             | (b + d == 0))  # zero-padding rows
-                return p, jnp.sum(p), ok
+        # the SHARED production dispatch plan (asm_tpu.kernels.nw_dispatch)
+        # — the same entry point the bench harness's sweep sections time,
+        # so both artifacts measure one NW policy (VERDICT r4 #6)
+        from asm_tpu.kernels.nw_dispatch import nw_partition_plan
 
-            return bstep
-
-        @jax.jit
-        def fstep(a, b, c, d):  # band-0 residue: exact cascade
-            p = nw_penalty_auto(a, b, c, d, x=cfg.x, o=cfg.o, e=cfg.e,
-                                pre_staged=True)
-            return p, jnp.sum(p), jnp.bool_(True)
-
-        steps, chunks = [], []
-        W2 = rc_t.shape[0]
-        for bw in (8, 16, 32, 64, 0):
-            sel = np.nonzero(bands2 == bw)[0]
-            if sel.size == 0:
-                continue
-            lo, hi = int(sel[0]), int(sel[-1]) + 1
-            assert hi - lo == sel.size  # contiguous after the sort
-            if bw == 0:
-                steps.append(fstep)
-                chunks.append((
-                    jax.device_put(np.ascontiguousarray(rc_t[:, lo:hi])),
-                    jax.device_put(rl2[lo:hi]),
-                    jax.device_put(np.ascontiguousarray(fc_t[:, lo:hi])),
-                    jax.device_put(fl2[lo:hi]),
-                ))
-                continue
-            size = hi - lo
-            # wide bands build ~bw*16 B/pair of mismatch planes per
-            # dispatch (BW=64: 2 KB/pair) — cap chunk sizes so a
-            # partition's planes stay ~4 GB and big-corpus runs don't
-            # exhaust HBM (cf. nw_penalty_auto's _map_subbatches caps)
-            bw_cap = {8: nw_chunk, 16: nw_chunk,
-                      32: 1 << 22, 64: 1 << 21}[bw]
-            c_sz = min(nw_chunk, bw_cap, size)
-            padc = (-size) % c_sz
-            # pad the partition to whole chunks with zero-length pairs
-            # (pen 0, certified) so each band compiles ONE program
-            rcp = np.concatenate(
-                [rc_t[:, lo:hi],
-                 np.zeros((W2, padc), rc_t.dtype)], axis=1)
-            fcp = np.concatenate(
-                [fc_t[:, lo:hi],
-                 np.zeros((W2, padc), fc_t.dtype)], axis=1)
-            rlp = np.concatenate([rl2[lo:hi], np.zeros(padc, rl2.dtype)])
-            flp = np.concatenate([fl2[lo:hi], np.zeros(padc, fl2.dtype)])
-            st = make_bstep(bw)
-            for c in slice_chunks(rcp, rlp, fcp, flp, c_sz):
-                steps.append(st)
-                chunks.append(c)
-        print(f"nw partitions: "
-              f"{dict(zip(*np.unique(bands2, return_counts=True)))} "
+        plan = nw_partition_plan(
+            rc_t, rl2, fc_t, fl2, bands2, x=cfg.x, o=cfg.o, e=cfg.e,
+            bws=(8, 16, 32, 64), max_chunk=nw_chunk, pre_staged=True,
+            already_sorted=True)
+        steps, chunks = plan.steps, plan.chunks
+        print(f"nw partitions: {plan.partitions} "
               f"-> {len(chunks)} dispatches", file=sys.stderr)
 
         def check(outs):
