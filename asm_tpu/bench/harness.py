@@ -223,9 +223,10 @@ def run_benchmark(
             x=cfg.x, o=cfg.o, e=cfg.e, max_chunk=chunk,
             interpret=interpret)
         nw_partition_execute(plan)  # warmup: one-time program load
-        t0 = time.perf_counter()
         nw_pen = nw_partition_execute(plan)
-        nw_time = time.perf_counter() - t0
+        # dispatch + reduced-barrier wall, the same accounting as
+        # timed_pass (result pulls excluded on both paths)
+        nw_time = plan.last_exec_seconds
         assert np.array_equal(nw_pen, pen0), \
             "partitioned NW != measuring pass"
     else:

@@ -43,6 +43,7 @@ class NWPlan:
     order: np.ndarray  # band-major permutation applied (sorted->orig inverse)
     n_pairs: int
     partitions: dict   # band width -> pair count (for logging)
+    last_exec_seconds: float = 0.0  # set by nw_partition_execute
 
 
 def _make_steps(x, o, e, pre_staged, interpret):
@@ -148,8 +149,21 @@ def nw_partition_execute(plan: NWPlan):
     """Dispatch every partition chunk, prove each certificate, and
     return int32[B] penalties in the ORIGINAL corpus order. All chunks
     are dispatched before any result is pulled (in-order device queues
-    pipeline them)."""
+    pipeline them). The timed compute region — dispatches + the reduced
+    (sum, all-certified) barrier scalar, the same accounting as the
+    harness's timed_pass — is recorded in `plan.last_exec_seconds`;
+    the full penalty pulls that follow are result retrieval, not
+    kernel time (through the axon tunnel they cost ~22 ms latency +
+    bytes/30 MBps each, which would otherwise dominate small sections)."""
+    import time
+
+    t0 = time.perf_counter()
     outs = [fn(*args) for fn, args in zip(plan.steps, plan.chunks)]
+    barrier = sum(o[1] for o in outs) + sum(
+        o[2].astype(jnp.int32) for o in outs)
+    np.asarray(barrier)  # forces every dispatch (in-order queue)
+    plan.last_exec_seconds = time.perf_counter() - t0
+
     pen_sorted = np.empty(plan.n_pairs, np.int32)
     base = 0
     for (p, _, ok), n in zip(outs, plan.valid):
