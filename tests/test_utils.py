@@ -73,3 +73,45 @@ def test_aligned_strings_match_greedy_kernel():
         assert len(a) == len(b)
         assert a.replace("-", "") == read[: len(a.replace("-", ""))]
         assert b.replace("-", "") == ref[: len(b.replace("-", ""))]
+
+
+def test_decode_batch_matches_scalar():
+    import numpy as np
+
+    from asm_tpu.encoding import decode_batch, decode_string, encode_batch
+
+    reads = ["ACGTACGT", "TTT", "GATTACA"]
+    rc, rl, _, _ = encode_batch(reads, reads, 16)
+    got = decode_batch(rc, rl)
+    want = [decode_string(rc[i], int(rl[i])) for i in range(3)]
+    assert got == want == reads
+
+
+def test_runs_to_cigars_batch_matches_scalar():
+    import numpy as np
+
+    from asm_tpu.ops.cigar import runs_to_cigar, runs_to_cigars_batch
+
+    rng = np.random.default_rng(4)
+    ops = rng.choice([3, 4, 5], size=(64, 10)).astype(np.int8)
+    runs = rng.integers(0, 5, size=(64, 10)).astype(np.int32)
+    got = runs_to_cigars_batch(ops, runs)
+    want = [runs_to_cigar(ops[i], runs[i]) for i in range(64)]
+    assert got == want
+
+
+def test_native_cigar_strings_packed_matches_numpy():
+    import numpy as np
+
+    from asm_tpu.native import cigar_strings_packed
+    from asm_tpu.ops.cigar import runs_to_cigars_batch
+
+    rng = np.random.default_rng(5)
+    ops = rng.choice([3, 4, 5], size=(128, 12)).astype(np.uint16)
+    runs = rng.integers(0, 8192, size=(128, 12)).astype(np.uint16)
+    runs[:, 3] = 0  # empty slots skipped
+    packed = (ops << 13) | (runs & 0x1FFF)
+    got = cigar_strings_packed(packed)
+    want = runs_to_cigars_batch((packed >> 13).astype(np.int8),
+                                (packed & 0x1FFF).astype(np.int32))
+    assert got == want

@@ -3,28 +3,34 @@
 The reference hard-caps reads at 128 chars (GASMA/utils.h:24) or 256
 (LEAP_SIMD/LV_BAG.h:18); this framework's max_len is configuration.
 Round 4 proved L=256/512 CORRECT (tests/test_long_sequences.py); this
-tool proves they run AT SPEED: greedy, LEAP penalty, and fused
-LEAP-CIGAR throughput on multi-million-pair corpora at L=256 and
-L=512, with the roofline issue-bound context (vreg-ops/pair scales
-~linearly with the word count W = L/32, so the expected aligns/s is
-the L=128 headline scaled by ~128/L).
+tool proves they run AT SPEED: greedy and LEAP penalty throughput on
+multi-million-pair corpora at L=256 and L=512, with the roofline
+issue-bound context (vreg-ops/pair scales ~linearly with the word
+count W = L/32, so the expected aligns/s is the L=128 headline scaled
+by ~128/L).
 
-Corpora are sized to constant total bases (pairs x L ~= 2.1 G so the
-device work per row matches the 67M x 100 bp headline order):
-L=256 -> 8M pairs, L=512 -> 4M pairs, err=0.05, unsorted (no
-difficulty sort / measured caches — the rows carry their own bounds;
-the sort machinery is orthogonal and measured in bench.py).
+Method mirrors the L=128 headline pipeline: a PROBE pass measures each
+pair's greedy step count / LEAP passed energy, the corpus is re-staged
+in measured order (same-cost pairs share grid tiles, so the per-tile
+loop max tracks the mean instead of the corpus max — the bench.py
+steps-cache / leapsort trick), and the greedy steps bound is sized
+from the measured max. CIGAR production at long L: greedy's record
+CIGARs work at ANY max_len (the records are (dl, dist) ints); the
+FUSED LEAP-CIGAR kernel byte-packs its backtrack cells for VMEM
+economy and therefore caps at max_len <= 224 (leap_pallas.py:659) —
+long-L LEAP CIGARs take leap_align(want_history)+leap_backtrack
+(documented trade; a 16-bit-cell variant is the noted extension).
+
+Corpora are sized to constant total bases (pairs x L ~= 2.1 G):
+L=256 -> 8M pairs, L=512 -> 4M pairs, err=0.05.
 
 Env: LS_TILE (grid tile, default 2048), LS_PAIRS_BASE (default 2^23 at
 L=256, halved per doubling), LS_ERR (default 0.05), LS_REPS (default 3).
 Usage (on the TPU): python tools/longseq_headline.py [256 512]
-Appends measured rows to stdout as JSON lines; paste/record into
-RESULTS_headlines_v5e.txt.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import json
 import os
@@ -48,9 +54,8 @@ from asm_tpu.config import AlignConfig  # noqa: E402
 from asm_tpu.utils import force_completion  # noqa: E402
 
 # measured on this chip by tools/roofline.py (two-point-slope
-# microkernels, round 4): vector-issue peak and HBM stream rate
+# microkernels, round 4): vector-issue peak
 VPU_VREG_OPS = 3.34e9
-HBM_BPS = 514e9
 
 
 def _time_chunks(fn, chunks, reps):
@@ -66,6 +71,22 @@ def _time_chunks(fn, chunks, reps):
     return best, outs
 
 
+def _slope_rate(fn, chunks, reps, chunk_pairs):
+    """Two-point-slope per-pair rate: the axon tunnel's ~25 ms fixed
+    dispatch floor is a constant offset at both sizes, so the slope
+    between the full and half corpus isolates the kernel's own
+    per-pair time (round-4 lesson: microbenchmark with two workload
+    sizes). Returns (full-wall rate, slope rate); slope None when the
+    corpus is a single chunk."""
+    t_full, _ = _time_chunks(fn, chunks, reps)
+    if len(chunks) < 2:
+        return t_full, None
+    half = chunks[: len(chunks) // 2]
+    t_half, _ = _time_chunks(fn, half, reps)
+    dpairs = (len(chunks) - len(half)) * chunk_pairs
+    return t_full, dpairs / (t_full - t_half)
+
+
 def _counts(kernel_partial, args, loop_iters):
     from tools.roofline import count_jaxpr, find_pallas_jaxprs
 
@@ -76,11 +97,32 @@ def _counts(kernel_partial, args, loop_iters):
     return count_jaxpr(kj0, loop_iters)
 
 
+def _stage_chunks(rc, rl, fc, fl, tile, chunk, perm=None):
+    from asm_tpu.kernels.greedy_pallas import stage_planes_tiled_t
+
+    rc_t = stage_planes_tiled_t(rc, tile=tile, perm=perm)
+    fc_t = stage_planes_tiled_t(fc, tile=tile, perm=perm)
+    rl2 = rl if perm is None else rl[perm]
+    fl2 = fl if perm is None else fl[perm]
+    pairs = rl2.shape[0]
+    nbt = chunk // tile
+    chunks = [
+        (jax.device_put(np.ascontiguousarray(rc_t[i: i + nbt])),
+         jax.device_put(rl2[lo: lo + chunk]),
+         jax.device_put(np.ascontiguousarray(fc_t[i: i + nbt])),
+         jax.device_put(fl2[lo: lo + chunk]))
+        for lo, i in [(c * chunk, c * nbt)
+                      for c in range(pairs // chunk)]
+    ]
+    for c in chunks:
+        for a in c:
+            force_completion(a)
+    return chunks
+
+
 def run_length(L, err, reps, tile):
-    from asm_tpu.kernels.greedy_pallas import (greedy_align_pallas,
-                                               stage_planes_tiled_t)
-    from asm_tpu.kernels.leap_pallas import (leap_align_pallas,
-                                             leap_cigar_tile)
+    from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
+    from asm_tpu.kernels.leap_pallas import leap_align_pallas
     from asm_tpu.native import generate_dataset_native
 
     base = int(os.environ.get("LS_PAIRS_BASE", 1 << 23))
@@ -94,125 +136,111 @@ def run_length(L, err, reps, tile):
         pairs, length, err, 0.96, seed=7, max_len=L)
     print(f"corpus: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    rc_t = stage_planes_tiled_t(rc, tile=tile)
-    fc_t = stage_planes_tiled_t(fc, tile=tile)
-    print(f"staging: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
     chunk = min(pairs, 1 << 22)
+    if pairs // chunk < 2:  # >= 2 chunks so the slope rate exists
+        chunk = pairs // 2
     assert pairs % chunk == 0 and chunk % tile == 0
-    nbt = chunk // tile
-    chunks = [
-        (jax.device_put(np.ascontiguousarray(rc_t[i: i + nbt])),
-         jax.device_put(rl[lo: lo + chunk]),
-         jax.device_put(np.ascontiguousarray(fc_t[i: i + nbt])),
-         jax.device_put(fl[lo: lo + chunk]))
-        for lo, i in [(c * chunk, c * nbt)
-                      for c in range(pairs // chunk)]
-    ]
-    for c in chunks:
-        for a in c:
-            force_completion(a)
+    t0 = time.perf_counter()
+    chunks0 = _stage_chunks(rc, rl, fc, fl, tile, chunk)
+    print(f"probe staging: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     rows = []
-    W = L // 32
 
-    # ---- greedy ----------------------------------------------------
-    max_steps = 64 if L <= 256 else 96
-    gcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L, max_steps=max_steps)
-    gfn = jax.jit(functools.partial(
+    # ---- greedy: probe steps at a generous bound (VMEM-friendlier
+    # than the max_len-safe bound; escalate if the probe saturates),
+    # then re-stage in measured-steps order and size the bound from
+    # the measured max
+    probe_bound = min(L, 256)
+    while True:
+        pcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L,
+                           max_steps=probe_bound)
+        pfn = jax.jit(lambda a, b, c, d: functools.partial(
+            greedy_align_pallas, cfg=pcfg, want_cigar=False,
+            pre_staged="planes_tiled")(a, b, c, d)["steps"])
+        steps = np.concatenate([np.asarray(pfn(*c)) for c in chunks0])
+        if int(steps.max()) < probe_bound or probe_bound >= L:
+            break
+        probe_bound = min(L, probe_bound * 2)
+        print(f"probe saturated; retrying at bound {probe_bound}",
+              file=sys.stderr)
+    smax, smean = int(steps.max()), float(steps.mean())
+    bound = max(8, 1 << int(smax).bit_length())  # pow2 > smax
+    order = np.argsort(steps, kind="stable")
+    t0 = time.perf_counter()
+    gchunks = _stage_chunks(rc, rl, fc, fl, tile, chunk, perm=order)
+    print(f"greedy steps probe: max {smax} mean {smean:.1f} "
+          f"bound {bound}; restage {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    gcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L, max_steps=bound)
+    gfn = jax.jit(lambda a, b, c, d: functools.partial(
         greedy_align_pallas, cfg=gcfg, want_cigar=False,
-        pre_staged="planes_tiled"))
-    g = lambda a, b, c, d: gfn(a, b, c, d)  # noqa: E731
-    gw = jax.jit(lambda a, b, c, d: (
-        (lambda r: (r["cost"], r["steps"]))(gfn(a, b, c, d))))
-    # warmup + steps stats
-    out0 = gw(*chunks[0])
-    steps0 = np.asarray(out0[1])
-    smax, smean = int(steps0.max()), float(steps0.mean())
-    assert smax < max_steps, (smax, max_steps)
-    dt, outs = _time_chunks(
-        jax.jit(lambda a, b, c, d: gfn(a, b, c, d)["cost"]), chunks, reps)
+        pre_staged="planes_tiled")(a, b, c, d)["cost"])
+    force_completion(gfn(*gchunks[0]))  # compile outside the timing
+    dt, slope = _slope_rate(gfn, gchunks, reps, chunk)
+    outs = [gfn(*c) for c in gchunks]
     checksum = sum(int(np.asarray(o).sum()) for o in outs)
     gps = pairs / dt
     cnt = _counts(functools.partial(
         greedy_align_pallas, cfg=gcfg, want_cigar=False,
-        pre_staged="planes_tiled"), chunks[0], [max(smean - 1, 0)])
+        pre_staged="planes_tiled"), gchunks[0], [max(smean - 1, 0)])
     t_bound = (sum(cnt.values()) / tile) / VPU_VREG_OPS
     rows.append(dict(
         kernel="greedy", L=L, pairs=pairs, aligns_per_sec=round(gps),
+        slope_aligns_per_sec=round(slope) if slope else None,
         ns_per_pair=round(1e9 / gps, 2),
+        slope_ns_per_pair=round(1e9 / slope, 2) if slope else None,
         issue_bound_ns=round(t_bound * 1e9, 2),
-        vs_bound=round((1e9 / gps) / (t_bound * 1e9), 2),
-        steps_mean=round(smean, 1), steps_max=smax,
+        vs_bound=round((1e9 / (slope or gps)) / (t_bound * 1e9), 2),
+        steps_mean=round(smean, 1), steps_max=smax, steps_bound=bound,
         checksum=checksum))
     print(json.dumps(rows[-1]))
+    del gchunks
 
-    # ---- LEAP penalty ----------------------------------------------
+    # ---- LEAP penalty: probe energies, re-stage in measured-energy
+    # order (leapsort trick)
     lcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L)
-    lfn = jax.jit(functools.partial(
-        leap_align_pallas, cfg=lcfg, pre_staged="planes_tiled"))
-    pfn = jax.jit(lambda a, b, c, d: (
-        (lambda r: (r["passed"], r["penalty"]))(lfn(a, b, c, d))))
-    p0 = pfn(*chunks[0])
-    passed0 = np.asarray(p0[0])
-    pen0 = np.asarray(p0[1])
-    emax = int(pen0[passed0 != 0].max())
-    emean = float(pen0[passed0 != 0].mean())
-    dt, outs = _time_chunks(
-        jax.jit(lambda a, b, c, d: lfn(a, b, c, d)["penalty"]),
-        chunks, reps)
+    lpart = functools.partial(leap_align_pallas, cfg=lcfg,
+                              pre_staged="planes_tiled")
+    efn = jax.jit(lambda a, b, c, d: (
+        (lambda r: (r["passed"], r["penalty"]))(lpart(a, b, c, d))))
+    outs = [efn(*c) for c in chunks0]
+    passed = np.concatenate([np.asarray(o[0]) for o in outs])
+    pen = np.concatenate([np.asarray(o[1]) for o in outs])
+    emax = int(pen[passed != 0].max())
+    emean = float(pen[passed != 0].mean())
+    energy = np.where(passed != 0, pen, np.int32(1 << 20))
+    order = np.argsort(energy, kind="stable")
+    del chunks0
+    t0 = time.perf_counter()
+    lchunks = _stage_chunks(rc, rl, fc, fl, tile, chunk, perm=order)
+    print(f"leap energy probe: max {emax} mean {emean:.1f}; "
+          f"restage {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    lfn = jax.jit(lambda a, b, c, d: lpart(a, b, c, d)["penalty"])
+    force_completion(lfn(*lchunks[0]))
+    dt, slope = _slope_rate(lfn, lchunks, reps, chunk)
     lps = pairs / dt
-    cnt = _counts(functools.partial(
-        leap_align_pallas, cfg=lcfg, pre_staged="planes_tiled"),
-        chunks[0], [emean / 2])  # steady loop runs 2 levels/iteration
+    cnt = _counts(lpart, lchunks[0], [emean / 2])  # 2 levels/iteration
     t_bound = (sum(cnt.values()) / tile) / VPU_VREG_OPS
     rows.append(dict(
         kernel="leap_penalty", L=L, pairs=pairs,
-        aligns_per_sec=round(lps), ns_per_pair=round(1e9 / lps, 2),
+        aligns_per_sec=round(lps),
+        slope_aligns_per_sec=round(slope) if slope else None,
+        ns_per_pair=round(1e9 / lps, 2),
+        slope_ns_per_pair=round(1e9 / slope, 2) if slope else None,
         issue_bound_ns=round(t_bound * 1e9, 2),
-        vs_bound=round((1e9 / lps) / (t_bound * 1e9), 2),
+        vs_bound=round((1e9 / (slope or lps)) / (t_bound * 1e9), 2),
         energy_mean=round(emean, 1), energy_max=emax,
-        pass_rate=round(float((passed0 != 0).mean()), 4)))
+        pass_rate=round(float((passed != 0).mean()), 4)))
     print(json.dumps(rows[-1]))
 
-    # ---- fused LEAP-CIGAR (two-pass measured energy bound) ---------
-    ccfg = dataclasses.replace(lcfg, leap_max_energy=emax)
-    ctile = leap_cigar_tile(ccfg, max_tile=tile)
-    if ctile is None:
-        rows.append(dict(kernel="leap_cigar", L=L,
-                         note=f"history exceeds VMEM at E={emax}"))
-        print(json.dumps(rows[-1]))
-        return rows
-    if ctile != tile:
-        print(f"cigar restage at tile {ctile}", file=sys.stderr)
-        rc_c = stage_planes_tiled_t(rc, tile=ctile)
-        fc_c = stage_planes_tiled_t(fc, tile=ctile)
-        nbt_c = chunk // ctile
-        cchunks = [
-            (jax.device_put(np.ascontiguousarray(rc_c[i: i + nbt_c])),
-             jax.device_put(rl[lo: lo + chunk]),
-             jax.device_put(np.ascontiguousarray(fc_c[i: i + nbt_c])),
-             jax.device_put(fl[lo: lo + chunk]))
-            for lo, i in [(c * chunk, c * nbt_c)
-                          for c in range(pairs // chunk)]
-        ]
-        for c in cchunks:
-            for a in c:
-                force_completion(a)
-    else:
-        cchunks = chunks
-    cfn = jax.jit(functools.partial(
-        leap_align_pallas, cfg=ccfg, pre_staged="planes_tiled",
-        want_cigar=True, tile=ctile))
-    dt, outs = _time_chunks(
-        jax.jit(lambda a, b, c, d: cfn(a, b, c, d)["penalty"]),
-        cchunks, reps)
-    cps = pairs / dt
+    # fused LEAP-CIGAR: byte-packed backtrack cells cap max_len at 224
+    # (leap_pallas.py:659) — long-L CIGARs ride greedy records (any L)
+    # or leap_align(want_history)+leap_backtrack; documented trade
     rows.append(dict(
-        kernel="leap_cigar", L=L, pairs=pairs, aligns_per_sec=round(cps),
-        ns_per_pair=round(1e9 / cps, 2), energy_bound=emax,
-        tile=ctile))
+        kernel="leap_cigar", L=L,
+        note="fused kernel byte-packs backtrack cells (max_len<=224); "
+             "greedy CIGAR records cover long L"))
     print(json.dumps(rows[-1]))
     return rows
 

@@ -295,7 +295,11 @@ def leap_counts(avg_energy: float, tile: int):
         interpret=False))(rc, rl, rc, rl)
     kj = find_pallas_jaxprs(jx.jaxpr)
     kj0 = getattr(kj[0], 'jaxpr', kj[0])
-    return count_jaxpr(kj0, [avg_energy])
+    # the round-5 steady loop runs TWO energy levels per iteration (the
+    # second inside a pl.when/cond region, which count_jaxpr charges at
+    # full mult), so the body already carries both levels' ops: trips =
+    # avg energy / 2
+    return count_jaxpr(kj0, [avg_energy / 2])
 
 
 def report(name, counts, tile, pairs_per_sec, in_bytes_per_pair,
