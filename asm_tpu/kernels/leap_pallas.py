@@ -66,14 +66,21 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
     R = max(go, ge, ms) + 1
     E = cfg.leap_energy_bound
 
+    # cell packing for the want_cigar backtrack history: positions are
+    # biased by +2 (values live in [-2, L]) and packed 4-per-uint32
+    # (8-bit fields) when L <= 253, or 2-per-uint32 (16-bit fields, TWO
+    # words per cell) for longer sequences — the "wide" mode that lifts
+    # the reference-style length cap from the fused CIGAR path at 2x
+    # the history VMEM (leap_cigar_tile sizes the tile accordingly)
+    wide = L > 253  # 2 uint32 words per packed cell when wide
+
     def pack4(s, e_, i, d):
-        """One uint32 byte-packs a (start, end, I_pos, D_pos) cell, each
-        biased by +2 (values live in [-2, L]; want_cigar asserts L <= 253).
-        The backtrack walk re-reads cells at dynamic scalar energies — a
-        single packed plane keeps the full [E+1, TL] history at 1/4 the
-        VMEM of four int32 planes."""
         u = lambda v: (v + 2).astype(jnp.uint32)
         return (u(s) | (u(e_) << 8) | (u(i) << 16) | (u(d) << 24))
+
+    def pack_cell2(a, b):
+        u = lambda v: (v + 2).astype(jnp.uint32)
+        return u(a) | (u(b) << 16)
 
     m = jnp.minimum(rl_ref[...], L)
     n = jnp.minimum(fl_ref[...], L)
@@ -201,7 +208,11 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
         hist_ref[1, 0, l] = unreached
         hist_ref[2, 0, l] = unreached
         if want_cigar:
-            bt_ref[l] = pack4(start0, end0, unreached, unreached)
+            if wide:
+                bt_ref[2 * l] = pack_cell2(start0, end0)
+                bt_ref[2 * l + 1] = pack_cell2(unreached, unreached)
+            else:
+                bt_ref[l] = pack4(start0, end0, unreached, unreached)
 
     corrected = mode in (LeapMode.GLOBAL, LeapMode.SEMI_FREE_BEGIN)
 
@@ -442,9 +453,15 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
             def park():
                 base = e * TL
                 for l in range(TL):
-                    bt_ref[pl.ds(base + l, 1)] = pack4(
-                        new_start[l], new_end[l], new_i[l], new_d[l]
-                    )[None]
+                    if wide:
+                        bt_ref[pl.ds((base + l) * 2, 1)] = pack_cell2(
+                            new_start[l], new_end[l])[None]
+                        bt_ref[pl.ds((base + l) * 2 + 1, 1)] = pack_cell2(
+                            new_i[l], new_d[l])[None]
+                    else:
+                        bt_ref[pl.ds(base + l, 1)] = pack4(
+                            new_start[l], new_end[l], new_i[l], new_d[l]
+                        )[None]
 
             if isinstance(e, int):
                 if e <= E:
@@ -513,6 +530,32 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
             jnp.int32
         ) - 2
 
+    def unpack16(w, half):
+        return ((w >> jnp.uint32(16 * half)) & jnp.uint32(0xFFFF)).astype(
+            jnp.int32
+        ) - 2
+
+    def read_rows(ev):
+        """Per-lane cell words at energy ev: [words0] (narrow) or
+        [wordsA, wordsB] (wide)."""
+        if wide:
+            return [
+                [bt_ref[pl.ds((ev * TL + l) * 2 + c, 1)][0]
+                 for l in range(TL)]
+                for c in range(2)
+            ]
+        return [[bt_ref[pl.ds(ev * TL + l, 1)][0] for l in range(TL)]]
+
+    def cell(rows, lane_vec):
+        """(s, e, i, d) int32 fields of the lane-selected cell."""
+        if wide:
+            wa = sel_lane(rows[0], lane_vec)
+            wb = sel_lane(rows[1], lane_vec)
+            return (unpack16(wa, 0), unpack16(wa, 1),
+                    unpack16(wb, 0), unpack16(wb, 1))
+        w = sel_lane(rows[0], lane_vec)
+        return (unpack(w, 0), unpack(w, 1), unpack(w, 2), unpack(w, 3))
+
     def wcond(it):
         # every emitted edit lowers the acting pairs' cursor by >= 1, so
         # E sweeps always suffice; the `it` bound is a belt-and-braces
@@ -526,20 +569,16 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
         ev = jnp.max(cur_e)
         act = cur_e == ev  # ev > 0, so act excludes finished pairs
 
-        row = [bt_ref[pl.ds(ev * TL + l, 1)][0] for l in range(TL)]
+        rows = read_rows(ev)
         evg = jnp.maximum(ev - ge, 0)
-        row_g = [bt_ref[pl.ds(evg * TL + l, 1)][0] for l in range(TL)]
+        rows_g = read_rows(evg)
         ok_ge = ev - ge >= 0  # scalar
 
-        w_cur = sel_lane(row, cur_lane)
-        s_cur = unpack(w_cur, 0)
-        e_cur = unpack(w_cur, 1)
-        i_cur = unpack(w_cur, 2)
-        d_cur = unpack(w_cur, 3)
+        s_cur, e_cur, i_cur, d_cur = cell(rows, cur_lane)
         # neighbour chain cells at energy ev-ge; out-of-range lane
         # selectors fall back to row 0 — a border lane, always UNREACHED
-        i_prev = unpack(sel_lane(row_g, cur_lane - 1), 2)
-        d_prev = unpack(sel_lane(row_g, cur_lane + 1), 3)
+        i_prev = cell(rows_g, cur_lane - 1)[2]
+        d_prev = cell(rows_g, cur_lane + 1)[3]
 
         # bool-valued jnp.where dies in Mosaic ("unsupported target
         # bitwidth for truncation") — combine booleans with logical ops
@@ -576,9 +615,9 @@ def _leap_kernel(cfg: AlignConfig, planes: bool, want_cigar: bool,
 
     # terminal match run at energy 0 on the walk's final lane
     # (leap_backtrack_one's trailing ('', end-start) entry)
-    row0 = [bt_ref[l] for l in range(TL)]
-    w0 = sel_lane(row0, st_ref[5])
-    term = unpack(w0, 1) - unpack(w0, 0)
+    rows0 = read_rows(jnp.int32(0))
+    c0 = cell(rows0, st_ref[5])
+    term = c0[1] - c0[0]
     rec_ref[0] = jnp.where(passed_v, term, 0)
 
 
@@ -589,8 +628,9 @@ def leap_cigar_vmem_bytes(cfg: AlignConfig, tile: int) -> int:
     TL = cfg.leap_total_lanes
     R = max(cfg.o, cfg.e, cfg.x) + 1
     E = cfg.leap_energy_bound
+    cw = 2 if cfg.max_len > 253 else 1  # uint32 words per packed cell
     per128 = 4 * 128 * (
-        (E + 1) * (TL + 1)     # bt_ref history + rec output block
+        (E + 1) * (TL * cw + 1)  # bt_ref history + rec output block
         + 3 * R * TL           # hist ring
         + 7 + 3 + 2            # st rows, out blocks, len blocks
         + 2 * (cfg.max_len // 16)  # two code plane blocks
@@ -600,11 +640,13 @@ def leap_cigar_vmem_bytes(cfg: AlignConfig, tile: int) -> int:
 
 def leap_cigar_tile(cfg: AlignConfig, max_tile: int | None = None,
                     vmem_budget: int = 12 << 20) -> int | None:
-    """Largest power-of-two grid tile (>= 256) whose want_cigar VMEM
+    """Largest power-of-two grid tile (>= 1024) whose want_cigar VMEM
     scratch fits `vmem_budget` (~16 MB/core minus headroom), or None if
-    even 256 does not fit (fall back to the XLA history path)."""
+    even 1024 does not fit (fall back to the XLA history path). The
+    floor is 1024: Mosaic requires the (tile/128, 128) pair blocks'
+    sublane dim divisible by 8."""
     t = max_tile if max_tile is not None else _TILE
-    while t >= 256:
+    while t >= 1024:
         if leap_cigar_vmem_bytes(cfg, t) <= vmem_budget:
             return t
         t //= 2
@@ -633,8 +675,10 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     run). Decode with `leap_cigar_decode` — bit-equal to
     leap_backtrack_batch. Pairs must pass within energy E: assert via
     `(penalty * passed).max() <= E` (the kernel cannot, mirroring the
-    greedy steps_bound contract). Requires max_len <= 224 (cell values
-    byte-packed with a +2 bias).
+    greedy steps_bound contract). Cell values carry a +2 bias and are
+    byte-packed at max_len <= 253, or 16-bit-packed in two words per
+    cell ("wide") beyond — the fused path has no length cap (2x history
+    VMEM in wide mode; leap_cigar_tile accounts for it).
 
     pre_staged=True (or "swar"): codes are position-major SWAR words
     uint32[L//4, B] from greedy_pallas.stage_swar_t. pre_staged="planes":
@@ -655,8 +699,8 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
     TL = cfg.leap_total_lanes
     R = max(cfg.o, cfg.e, cfg.x) + 1
     E = cfg.leap_energy_bound
-    if want_cigar:
-        assert L <= 253, "want_cigar byte-packs positions; max_len <= 224"
+    # want_cigar packs backtrack cells 8-bit (L <= 253) or 16-bit
+    # ("wide", any L) — see pack4/pack2 in the kernel
     planes = "tiled" if pre_staged == "planes_tiled" \
         else pre_staged == "planes"
     # grid tile: `tile` overrides the module default — want_cigar VMEM
@@ -762,8 +806,9 @@ def leap_align_pallas(read_codes, read_len, ref_codes, ref_len,
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((E + 1, NB, 128), jnp.int32))
+        cw = 2 if L > 253 else 1
         scratch.append(
-            pltpu.VMEM(((E + 1) * TL, SUB, 128), jnp.uint32)  # bt_ref
+            pltpu.VMEM(((E + 1) * TL * cw, SUB, 128), jnp.uint32)  # bt_ref
         )
     if planes == "tiled":
         code_spec = pl.BlockSpec(

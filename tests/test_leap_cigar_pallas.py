@@ -113,7 +113,10 @@ def test_cigar_auto_easy_corpus_small_bound():
 
 
 def test_cigar_auto_forced_tiny_tile():
-    """A tiny vmem budget forces the smallest tile; outputs unchanged."""
+    """A tiny vmem budget forces the smallest tile (1024 — the Mosaic
+    floor: pair blocks need a sublane dim divisible by 8; the old
+    256/512 tiles never actually lowered on hardware); outputs
+    unchanged."""
     from asm_tpu.data.generator import generate_dataset_arrays
 
     cfg = AlignConfig(x=1, o=1, e=1, k=3, leap_af_threshold=60,
@@ -123,15 +126,17 @@ def test_cigar_auto_forced_tiny_tile():
                                              leap_cigar_vmem_bytes)
     import dataclasses
 
-    # budget that only fits a 256-pair tile at this bound
+    # budget that only fits a 1024-pair tile at this bound
     probe = dataclasses.replace(cfg, leap_max_energy=32)
-    b256 = leap_cigar_vmem_bytes(probe, 256)
-    assert leap_cigar_tile(probe, vmem_budget=b256) == 256
-    _auto_vs_xla(cfg, corpus, vmem_budget=b256, bucket=32)
+    b1024 = leap_cigar_vmem_bytes(probe, 1024)
+    assert leap_cigar_tile(probe, vmem_budget=b1024) == 1024
+    # below the floor: no tile, XLA fallback territory
+    assert leap_cigar_tile(probe, vmem_budget=b1024 - 1) is None
+    _auto_vs_xla(cfg, corpus, vmem_budget=b1024, bucket=32)
 
 
 def test_cigar_auto_xla_fallback():
-    """When even a 256-pair tile cannot hold the history the XLA
+    """When even a 1024-pair tile cannot hold the history the XLA
     full-history path takes over transparently."""
     from asm_tpu.data.generator import generate_dataset_arrays
 
@@ -156,9 +161,11 @@ def test_cigar_auto_planes_tiled_staged():
     B = _TILE
     rc, rl, fc, fl = generate_dataset_arrays(B, 100, 0.15, 0.9, seed=64)
     want = _auto_vs_xla(cfg, (rc, rl, fc, fl))
-    # budget that forces a sub-tile of the staged block
-    probe = dataclasses.replace(cfg, leap_max_energy=32)
-    budget = leap_cigar_vmem_bytes(probe, _TILE // 2)
+    # budget that forces a sub-tile of the staged block: fits the
+    # af-capped energy bound (60) at tile 1024 (the Mosaic floor) but
+    # not at the staged 2048
+    probe = dataclasses.replace(cfg, leap_max_energy=60)
+    budget = leap_cigar_vmem_bytes(probe, 1024)
     got = leap_cigar_auto(
         jnp.asarray(stage_planes_tiled_t(rc)), jnp.asarray(rl),
         jnp.asarray(stage_planes_tiled_t(fc)), jnp.asarray(fl),

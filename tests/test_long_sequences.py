@@ -69,3 +69,30 @@ def test_nw_long_reads():
     for i in range(len(reads)):
         exp, _ = nw_ref(reads[i], refs[i], traceback=False)
         assert pen[i] == exp, i
+
+
+@pytest.mark.parametrize("length,max_len", [(250, 256), (500, 512)])
+def test_fused_leap_cigar_long_reads(length, max_len):
+    """Round 5: the fused in-kernel LEAP backtrack at L > 253 switches
+    to 16-bit "wide" cell packing (leap_pallas pack_cell2) — no length
+    cap; bit-equal to leap_align(want_history) + leap_backtrack_batch
+    like the L=128 path."""
+    from asm_tpu.kernels.leap_backtrack import leap_backtrack_batch
+    from asm_tpu.kernels.leap_pallas import (leap_align_pallas,
+                                             leap_cigar_decode)
+
+    cfg = AlignConfig(k=3, max_len=max_len, leap_af_threshold=200,
+                      leap_max_energy=64)
+    reads, refs = generate_dataset(24, length, 0.05, 0.96, seed=length)
+    a = [jnp.asarray(v) for v in encode_batch(reads, refs, max_len)]
+    out = leap_align_pallas(*a, cfg, interpret=True, want_cigar=True)
+    pen = np.asarray(out["penalty"])
+    assert int((pen * np.asarray(out["passed"])).max()) <= 64
+    cigars = leap_cigar_decode(out, cfg)
+    h = leap_align(*a, cfg, want_history=True)
+    ref = leap_backtrack_batch(h, cfg)
+    np.testing.assert_array_equal(pen, np.asarray(h["penalty"]))
+    for got, want in zip(cigars, ref):
+        g = got[1] if isinstance(got, tuple) else got
+        w = want[1] if isinstance(want, tuple) else want
+        assert g == w
