@@ -204,9 +204,15 @@ def map_reads(
         ql[:bs] = read_lens[bri]
         span = np.minimum(np.minimum(rlens[bri] + 1,
                                      ref_len_total - bst), L)
-        win = ref_codes[np.minimum(bst[:, None] + colv[None, :],
-                                   ref_len_total - 1)]
-        wp[:bs] = _pack_codes(win)
+        # window gather + pack in one threaded native pass (numpy
+        # fancy-gather fallback when the library is unavailable)
+        from asm_tpu.native import window_pack_native
+
+        if window_pack_native(ref_codes, bst, span.astype(np.int32), L,
+                              out=wp[:bs]) is None:
+            win = ref_codes[np.minimum(bst[:, None] + colv[None, :],
+                                       ref_len_total - 1)]
+            wp[:bs] = _pack_codes(win)
         wl[:bs] = span
         return (jnp.asarray(qp), jnp.asarray(ql), jnp.asarray(wp),
                 jnp.asarray(wl))

@@ -71,6 +71,10 @@ def _configure(lib):
     lib.asm_cigar_strings.argtypes = [
         u16p, c.c_int64, c.c_int32, u8p, c.c_int64, i32p,
     ]
+    lib.asm_window_pack.restype = c.c_int64
+    lib.asm_window_pack.argtypes = [
+        i8p, c.c_int64, i64p, i32p, c.c_int64, c.c_int32, u8p,
+    ]
 
     lib.asm_fm_build.restype = c.c_void_p
     lib.asm_fm_build.argtypes = [i8p, c.c_int64]
@@ -266,6 +270,25 @@ def coverage_batch_native(read_codes, read_len, g_ops, g_runs, nw_cols,
         nw_cols.shape[1], threshold1, threshold2, covered,
     )
     return covered.astype(bool)
+
+
+def window_pack_native(genome: np.ndarray, starts: np.ndarray,
+                       spans: np.ndarray, L: int,
+                       out: np.ndarray | None = None) -> np.ndarray | None:
+    """Gather + 2-bit-pack candidate windows from a genome in one
+    threaded native call (the mapper's upload format). Returns None when
+    the library is unavailable (caller falls back to numpy)."""
+    lib = load_native(required=False)
+    if lib is None:
+        return None
+    n = starts.shape[0]
+    if out is None:
+        out = np.empty((n, L // 4), np.uint8)
+    lib.asm_window_pack(
+        np.ascontiguousarray(genome, np.int8), genome.shape[0],
+        np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(spans, np.int32), n, L, out)
+    return out
 
 
 def cigar_strings_packed(packed: np.ndarray) -> list[str]:

@@ -254,6 +254,61 @@ int64_t asm_write_pair_file(const char* path, int64_t n, int32_t max_len,
     return n;
 }
 
+// Mapper window assembly: gather candidate windows from the genome and
+// 2-bit-pack them in one threaded pass (codes & 3, 4 per byte — the
+// upload format asm_tpu.mapper.core._pack_codes produces; content past
+// a window's span is zeroed and re-masked to the PAD sentinel by the
+// on-device unpack, so only genome-bounds clamping matters here).
+// Replaces a numpy fancy-gather + shift/or pack that was the mapper's
+// largest host stage after the native candidates call.
+int64_t asm_window_pack(const int8_t* genome, int64_t glen,
+                        const int64_t* starts, const int32_t* spans,
+                        int64_t n, int32_t L, uint8_t* out) {
+    const int32_t Lq = L / 4;
+    int nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if ((int64_t)nthreads > n) nthreads = (int)(n ? n : 1);
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; r++) {
+            int64_t s0 = starts[r];
+            int64_t lim = spans[r];
+            if (s0 < 0) s0 = 0;
+            if (lim > glen - s0) lim = glen - s0;
+            if (lim < 0) lim = 0;
+            const int8_t* g = genome + s0;
+            uint8_t* o = out + r * Lq;
+            int64_t full = lim / 4;
+            for (int64_t j = 0; j < full; j++) {
+                o[j] = (uint8_t)((g[4 * j] & 3) | ((g[4 * j + 1] & 3) << 2) |
+                                 ((g[4 * j + 2] & 3) << 4) |
+                                 ((g[4 * j + 3] & 3) << 6));
+            }
+            for (int64_t j = full; j < Lq; j++) {
+                uint8_t b = 0;
+                for (int t = 0; t < 4; t++) {
+                    int64_t p = 4 * j + t;
+                    if (p < lim) b |= (uint8_t)((g[p] & 3) << (2 * t));
+                }
+                o[j] = b;
+            }
+        }
+    };
+    if (nthreads <= 1) {
+        worker(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t per = (n + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; t++) {
+            int64_t lo = t * per;
+            int64_t hi = lo + per < n ? lo + per : n;
+            if (lo >= hi) break;
+            ts.emplace_back(worker, lo, hi);
+        }
+        for (auto& t : ts) t.join();
+    }
+    return n;
+}
+
 // Packed greedy CIGAR records -> CIGAR text, threaded over rows.
 // `packed` is the mapper's uint16 slot encoding (op code in bits 13..15
 // per ops/cigar.py OP_CHARS, run length in bits 0..12); slots with run 0
