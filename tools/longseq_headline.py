@@ -14,12 +14,12 @@ pair's greedy step count / LEAP passed energy, the corpus is re-staged
 in measured order (same-cost pairs share grid tiles, so the per-tile
 loop max tracks the mean instead of the corpus max — the bench.py
 steps-cache / leapsort trick), and the greedy steps bound is sized
-from the measured max. CIGAR production at long L: greedy's record
-CIGARs work at ANY max_len (the records are (dl, dist) ints); the
-FUSED LEAP-CIGAR kernel byte-packs its backtrack cells for VMEM
-economy and therefore caps at max_len <= 224 (leap_pallas.py:659) —
-long-L LEAP CIGARs take leap_align(want_history)+leap_backtrack
-(documented trade; a 16-bit-cell variant is the noted extension).
+from the measured max. CIGAR production at long L is FULLY FUSED too:
+round 5 added 16-bit "wide" backtrack cells, so the fused LEAP-CIGAR
+kernel runs at any max_len; the energy-sorted corpus takes per-chunk
+measured energy bounds, and a chunk whose bound exceeds VMEM at the
+Mosaic-minimum 1024 tile (the deep-energy tail) rides the XLA history
+kernel inside the same timed wall.
 
 Corpora are sized to constant total bases (pairs x L ~= 2.1 G):
 L=256 -> 8M pairs, L=512 -> 4M pairs, err=0.05.
