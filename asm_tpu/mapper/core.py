@@ -305,11 +305,11 @@ def map_reads(
         t0 = time.perf_counter()
         # quantizing the measured step count to a multiple of 4 keeps
         # the set of compiled slicer programs small across corpora
-        keep = max(4, -(-max_steps // 4) * 4)
+        keep_steps = max(4, -(-max_steps // 4) * 4)
         packed = _finish_records(
             [o["cigar_ops"] for o in outs_rec],
             [o["cigar_runs"] for o in outs_rec],
-            keep=keep)
+            keep=keep_steps)
         prof["rec_dispatch_s"] = time.perf_counter() - t0
 
     # overlap the record pull (tunnel-bound, GIL released while the
