@@ -165,24 +165,58 @@ def run_length(L, err, reps, tile):
         print(f"probe saturated; retrying at bound {probe_bound}",
               file=sys.stderr)
     smax, smean = int(steps.max()), float(steps.mean())
-    bound = max(8, 1 << int(smax).bit_length())  # pow2 > smax
     order = np.argsort(steps, kind="stable")
+    steps_sorted = steps[order]
+    # per-chunk pow2 steps bounds (bench.py's quantized-bounds trick:
+    # the sorted corpus gives early chunks tiny record buffers; the
+    # bound only sizes records — the loop already exits per tile)
+    bounds = [
+        max(8, 1 << int(steps_sorted[i: i + chunk].max()).bit_length())
+        for i in range(0, pairs, chunk)
+    ]
     t0 = time.perf_counter()
     gchunks = _stage_chunks(rc, rl, fc, fl, tile, chunk, perm=order)
     print(f"greedy steps probe: max {smax} mean {smean:.1f} "
-          f"bound {bound}; restage {time.perf_counter() - t0:.1f}s",
+          f"bounds {bounds}; restage {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-    gcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L, max_steps=bound)
-    gfn = jax.jit(lambda a, b, c, d: functools.partial(
-        greedy_align_pallas, cfg=gcfg, want_cigar=False,
-        pre_staged="planes_tiled")(a, b, c, d)["cost"])
-    force_completion(gfn(*gchunks[0]))  # compile outside the timing
-    dt, slope = _slope_rate(gfn, gchunks, reps, chunk)
-    outs = [gfn(*c) for c in gchunks]
+    gfns = {}
+    for b in set(bounds):
+        gcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L, max_steps=b)
+        gfns[b] = jax.jit(functools.partial(
+            lambda a, b_, c, d, _cfg: greedy_align_pallas(
+                a, b_, c, d, _cfg, want_cigar=False,
+                pre_staged="planes_tiled")["cost"], _cfg=gcfg))
+    gcall = list(zip((gfns[b] for b in bounds), gchunks))
+    for b in set(bounds):  # compile each program outside the timing
+        force_completion(gfns[b](*gchunks[bounds.index(b)]))
+
+    best = None
+    half = len(gcall) // 2
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*c) for fn, c in gcall]
+        force_completion(outs[-1])
+        dt_full = time.perf_counter() - t0
+        best = dt_full if best is None or dt_full < best else best
+    dt = best
+    slope = None
+    if half:
+        bhalf = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs_h = [fn(*c) for fn, c in gcall[:half]]
+            force_completion(outs_h[-1])
+            d = time.perf_counter() - t0
+            bhalf = d if bhalf is None or d < bhalf else bhalf
+        slope = (len(gcall) - half) * chunk / (dt - bhalf)
+    outs = [fn(*c) for fn, c in gcall]
     checksum = sum(int(np.asarray(o).sum()) for o in outs)
+    bound = max(bounds)
     gps = pairs / dt
+    count_cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L,
+                            max_steps=max(bounds))
     cnt = _counts(functools.partial(
-        greedy_align_pallas, cfg=gcfg, want_cigar=False,
+        greedy_align_pallas, cfg=count_cfg, want_cigar=False,
         pre_staged="planes_tiled"), gchunks[0], [max(smean - 1, 0)])
     t_bound = (sum(cnt.values()) / tile) / VPU_VREG_OPS
     rows.append(dict(
