@@ -120,6 +120,61 @@ def _stage_chunks(rc, rl, fc, fl, tile, chunk, perm=None):
     return chunks
 
 
+def plan_cigar_chunks(energy_sorted, lcfg, tile, csize):
+    """Fused-CIGAR dispatch plan over an ENERGY-SORTED corpus.
+
+    Returns (plans, split_specs, xla_spans, E_fit, t_fit):
+      plans       — [(base, Eb, t_c)]: whole csize-chunks fused at their
+                    own bucketized energy bound Eb (multiple of 8,
+                    capped at the af threshold) and VMEM-sized tile t_c;
+      split_specs — [(base, plen)]: for chunks whose own bound exceeds
+                    VMEM even at the Mosaic-minimum 1024 tile, the
+                    energy-sorted PREFIX with energy <= E_fit (rounded
+                    down to t_fit) that still rides the fused kernel at
+                    (E_fit, t_fit);
+      xla_spans   — [(lo, hi)]: the true deep residue (energy > E_fit)
+                    for the XLA history path;
+      E_fit/t_fit — the deepest bucketized bound that fits VMEM at some
+                    tile, and that tile (None/None if nothing fits).
+
+    Every pair index in [0, len) is covered exactly once. Pure host
+    logic (unit-tested in tests/test_longseq_plan.py)."""
+    import dataclasses
+
+    from asm_tpu.kernels.leap_pallas import leap_cigar_tile
+
+    af = lcfg.leap_af_threshold
+    pairs = len(energy_sorted)
+    assert pairs % csize == 0
+    E_fit = t_fit = None
+    for Ef in range(min(af, -(-af // 8) * 8), 7, -8):
+        tf = leap_cigar_tile(
+            dataclasses.replace(lcfg, leap_max_energy=Ef), max_tile=tile)
+        if tf is not None:
+            E_fit, t_fit = Ef, tf
+            break
+    plans = []
+    split_specs = []  # (base, plen) fused prefixes of over-VMEM chunks
+    xla_spans = []
+    for base in range(0, pairs, csize):
+        Ec = int(min(energy_sorted[base: base + csize].max(), af))
+        Eb = min(af, -(-max(Ec, 8) // 8) * 8)  # bucket to multiples of 8
+        t_c = leap_cigar_tile(
+            dataclasses.replace(lcfg, leap_max_energy=Eb), max_tile=tile)
+        if t_c is None:
+            sub = energy_sorted[base: base + csize]
+            plen = int(np.searchsorted(sub, E_fit, side="right")) \
+                if E_fit is not None else 0
+            plen -= plen % (t_fit or 1)
+            if plen:
+                split_specs.append((base, plen))
+            if plen < csize:
+                xla_spans.append((base + plen, base + csize))
+        else:
+            plans.append((base, Eb, t_c))
+    return plans, split_specs, xla_spans, E_fit, t_fit
+
+
 def run_length(L, err, reps, tile):
     from asm_tpu.kernels.greedy_pallas import greedy_align_pallas
     from asm_tpu.kernels.leap_pallas import leap_align_pallas
@@ -146,90 +201,100 @@ def run_length(L, err, reps, tile):
           file=sys.stderr)
 
     rows = []
+    kernels = os.environ.get("LS_KERNELS", "greedy,leap,cigar"
+                             ).split(",")
 
-    # ---- greedy: probe steps at a generous bound (VMEM-friendlier
-    # than the max_len-safe bound; escalate if the probe saturates),
-    # then re-stage in measured-steps order and size the bound from
-    # the measured max
-    probe_bound = min(L, 256)
-    while True:
-        pcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L,
-                           max_steps=probe_bound)
-        pfn = jax.jit(lambda a, b, c, d: functools.partial(
-            greedy_align_pallas, cfg=pcfg, want_cigar=False,
-            pre_staged="planes_tiled")(a, b, c, d)["steps"])
-        steps = np.concatenate([np.asarray(pfn(*c)) for c in chunks0])
-        if int(steps.max()) < probe_bound or probe_bound >= L:
-            break
-        probe_bound = min(L, probe_bound * 2)
-        print(f"probe saturated; retrying at bound {probe_bound}",
-              file=sys.stderr)
-    smax, smean = int(steps.max()), float(steps.mean())
-    order = np.argsort(steps, kind="stable")
-    steps_sorted = steps[order]
-    # per-chunk pow2 steps bounds (bench.py's quantized-bounds trick:
-    # the sorted corpus gives early chunks tiny record buffers; the
-    # bound only sizes records — the loop already exits per tile)
-    bounds = [
-        max(8, 1 << int(steps_sorted[i: i + chunk].max()).bit_length())
-        for i in range(0, pairs, chunk)
-    ]
-    t0 = time.perf_counter()
-    gchunks = _stage_chunks(rc, rl, fc, fl, tile, chunk, perm=order)
-    print(f"greedy steps probe: max {smax} mean {smean:.1f} "
-          f"bounds {bounds}; restage {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
-    gfns = {}
-    for b in set(bounds):
-        gcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L, max_steps=b)
-        gfns[b] = jax.jit(functools.partial(
-            lambda a, b_, c, d, _cfg: greedy_align_pallas(
-                a, b_, c, d, _cfg, want_cigar=False,
-                pre_staged="planes_tiled")["cost"], _cfg=gcfg))
-    gcall = list(zip((gfns[b] for b in bounds), gchunks))
-    for b in set(bounds):  # compile each program outside the timing
-        force_completion(gfns[b](*gchunks[bounds.index(b)]))
-
-    best = None
-    half = len(gcall) // 2
-    for _ in range(reps):
+    if "greedy" in kernels:
+        # ---- greedy: probe steps at a generous bound (VMEM-friendlier
+        # than the max_len-safe bound; escalate if the probe saturates),
+        # then re-stage in measured-steps order and size the bound from
+        # the measured max
+        probe_bound = min(L, 256)
+        while True:
+            pcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L,
+                               max_steps=probe_bound)
+            pfn = jax.jit(lambda a, b, c, d: functools.partial(
+                greedy_align_pallas, cfg=pcfg, want_cigar=False,
+                pre_staged="planes_tiled")(a, b, c, d)["steps"])
+            steps = np.concatenate([np.asarray(pfn(*c)) for c in chunks0])
+            if int(steps.max()) < probe_bound or probe_bound >= L:
+                break
+            probe_bound = min(L, probe_bound * 2)
+            print(f"probe saturated; retrying at bound {probe_bound}",
+                  file=sys.stderr)
+        smax, smean = int(steps.max()), float(steps.mean())
+        order = np.argsort(steps, kind="stable")
+        steps_sorted = steps[order]
+        # per-chunk pow2 steps bounds (bench.py's quantized-bounds trick:
+        # the sorted corpus gives early chunks tiny record buffers; the
+        # bound only sizes records — the loop already exits per tile).
+        # Bound granularity is FINER than the dispatch-slope chunk
+        # (default pairs/16, env LS_GREEDY_CHUNKS): only the deepest
+        # slice pays the max-steps record buffer (its zero-init +
+        # writeback is the residual vs the mean-trip issue bound).
+        gsize = max(tile, pairs // int(os.environ.get(
+            "LS_GREEDY_CHUNKS", "16")))
+        assert pairs % gsize == 0 and gsize % tile == 0
+        bounds = [
+            max(8, 1 << int(steps_sorted[i: i + gsize].max()).bit_length())
+            for i in range(0, pairs, gsize)
+        ]
         t0 = time.perf_counter()
-        outs = [fn(*c) for fn, c in gcall]
-        force_completion(outs[-1])
-        dt_full = time.perf_counter() - t0
-        best = dt_full if best is None or dt_full < best else best
-    dt = best
-    slope = None
-    if half:
-        bhalf = None
+        gchunks = _stage_chunks(rc, rl, fc, fl, tile, gsize, perm=order)
+        print(f"greedy steps probe: max {smax} mean {smean:.1f} "
+              f"bounds {bounds}; restage {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        gfns = {}
+        for b in set(bounds):
+            gcfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L, max_steps=b)
+            gfns[b] = jax.jit(functools.partial(
+                lambda a, b_, c, d, _cfg: greedy_align_pallas(
+                    a, b_, c, d, _cfg, want_cigar=False,
+                    pre_staged="planes_tiled")["cost"], _cfg=gcfg))
+        gcall = list(zip((gfns[b] for b in bounds), gchunks))
+        for b in set(bounds):  # compile each program outside the timing
+            force_completion(gfns[b](*gchunks[bounds.index(b)]))
+
+        best = None
+        half = len(gcall) // 2
         for _ in range(reps):
             t0 = time.perf_counter()
-            outs_h = [fn(*c) for fn, c in gcall[:half]]
-            force_completion(outs_h[-1])
-            d = time.perf_counter() - t0
-            bhalf = d if bhalf is None or d < bhalf else bhalf
-        slope = (len(gcall) - half) * chunk / (dt - bhalf)
-    outs = [fn(*c) for fn, c in gcall]
-    checksum = sum(int(np.asarray(o).sum()) for o in outs)
-    bound = max(bounds)
-    gps = pairs / dt
-    count_cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L,
-                            max_steps=max(bounds))
-    cnt = _counts(functools.partial(
-        greedy_align_pallas, cfg=count_cfg, want_cigar=False,
-        pre_staged="planes_tiled"), gchunks[0], [max(smean - 1, 0)])
-    t_bound = (sum(cnt.values()) / tile) / VPU_VREG_OPS
-    rows.append(dict(
-        kernel="greedy", L=L, pairs=pairs, aligns_per_sec=round(gps),
-        slope_aligns_per_sec=round(slope) if slope else None,
-        ns_per_pair=round(1e9 / gps, 2),
-        slope_ns_per_pair=round(1e9 / slope, 2) if slope else None,
-        issue_bound_ns=round(t_bound * 1e9, 2),
-        vs_bound=round((1e9 / (slope or gps)) / (t_bound * 1e9), 2),
-        steps_mean=round(smean, 1), steps_max=smax, steps_bound=bound,
-        checksum=checksum))
-    print(json.dumps(rows[-1]))
-    del gchunks
+            outs = [fn(*c) for fn, c in gcall]
+            force_completion(outs[-1])
+            dt_full = time.perf_counter() - t0
+            best = dt_full if best is None or dt_full < best else best
+        dt = best
+        slope = None
+        if half:
+            bhalf = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                outs_h = [fn(*c) for fn, c in gcall[:half]]
+                force_completion(outs_h[-1])
+                d = time.perf_counter() - t0
+                bhalf = d if bhalf is None or d < bhalf else bhalf
+            slope = (len(gcall) - half) * gsize / (dt - bhalf)
+        outs = [fn(*c) for fn, c in gcall]
+        checksum = sum(int(np.asarray(o).sum()) for o in outs)
+        bound = max(bounds)
+        gps = pairs / dt
+        count_cfg = AlignConfig(x=1, o=1, e=1, k=3, max_len=L,
+                                max_steps=max(bounds))
+        cnt = _counts(functools.partial(
+            greedy_align_pallas, cfg=count_cfg, want_cigar=False,
+            pre_staged="planes_tiled"), gchunks[0], [max(smean - 1, 0)])
+        t_bound = (sum(cnt.values()) / tile) / VPU_VREG_OPS
+        rows.append(dict(
+            kernel="greedy", L=L, pairs=pairs, aligns_per_sec=round(gps),
+            slope_aligns_per_sec=round(slope) if slope else None,
+            ns_per_pair=round(1e9 / gps, 2),
+            slope_ns_per_pair=round(1e9 / slope, 2) if slope else None,
+            issue_bound_ns=round(t_bound * 1e9, 2),
+            vs_bound=round((1e9 / (slope or gps)) / (t_bound * 1e9), 2),
+            steps_mean=round(smean, 1), steps_max=smax, steps_bound=bound,
+            chunk_bounds=sorted(set(bounds)), checksum=checksum))
+        print(json.dumps(rows[-1]))
+        del gchunks
 
     # ---- LEAP penalty: probe energies, re-stage in measured-energy
     # order (leapsort trick)
@@ -246,106 +311,118 @@ def run_length(L, err, reps, tile):
     energy = np.where(passed != 0, pen, np.int32(1 << 20))
     order = np.argsort(energy, kind="stable")
     del chunks0
-    t0 = time.perf_counter()
-    lchunks = _stage_chunks(rc, rl, fc, fl, tile, chunk, perm=order)
-    print(f"leap energy probe: max {emax} mean {emean:.1f}; "
-          f"restage {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    lfn = jax.jit(lambda a, b, c, d: lpart(a, b, c, d)["penalty"])
-    force_completion(lfn(*lchunks[0]))
-    dt, slope = _slope_rate(lfn, lchunks, reps, chunk)
-    lps = pairs / dt
-    cnt = _counts(lpart, lchunks[0], [emean / 2])  # 2 levels/iteration
-    t_bound = (sum(cnt.values()) / tile) / VPU_VREG_OPS
-    rows.append(dict(
-        kernel="leap_penalty", L=L, pairs=pairs,
-        aligns_per_sec=round(lps),
-        slope_aligns_per_sec=round(slope) if slope else None,
-        ns_per_pair=round(1e9 / lps, 2),
-        slope_ns_per_pair=round(1e9 / slope, 2) if slope else None,
-        issue_bound_ns=round(t_bound * 1e9, 2),
-        vs_bound=round((1e9 / (slope or lps)) / (t_bound * 1e9), 2),
-        energy_mean=round(emean, 1), energy_max=emax,
-        pass_rate=round(float((passed != 0).mean()), 4)))
-    print(json.dumps(rows[-1]))
-
-    # ---- fused LEAP-CIGAR (per-chunk measured energy bounds; round-5
-    # 16-bit "wide" cell packing lifts the old max_len<=224 cap).
-    # The corpus is ENERGY-SORTED, so per-chunk maxima are monotone:
-    # most chunks ride the fused kernel at their own (bucketized) energy
-    # bound + VMEM-sized tile; a chunk whose bound exceeds VMEM even at
-    # the Mosaic-minimum 1024 tile (the deep-energy tail) falls back to
-    # the XLA history kernel — same CIGAR records, device-side, just
-    # without the fused backtrack. CIGAR decode is host-side for both
-    # paths and excluded, as in the L=128 headline.
-    import dataclasses
-
-    from asm_tpu.kernels.leap import leap_align
-    from asm_tpu.kernels.leap_pallas import leap_cigar_tile
-
-    af = lcfg.leap_af_threshold
-    csize = max(tile, min(chunk, pairs // 16))
-    energy_sorted = energy[order]
-    plans = []
-    xla_spans = []
-    for base in range(0, pairs, csize):
-        Ec = int(min(energy_sorted[base: base + csize].max(), af))
-        Eb = min(af, -(-max(Ec, 8) // 8) * 8)  # bucket to multiples of 8
-        t_c = leap_cigar_tile(
-            dataclasses.replace(lcfg, leap_max_energy=Eb), max_tile=tile)
-        if t_c is None:
-            xla_spans.append((base, base + csize))
-        else:
-            plans.append((base, Eb, t_c))
-    by_tile = {}
-    for t_c in {t for _, _, t in plans}:
-        by_tile[t_c] = _stage_chunks(rc, rl, fc, fl, t_c, csize,
-                                     perm=order)
-    fns = {}
-    calls = []
-    for (base, Eb, t_c) in plans:
-        key = (Eb, t_c)
-        if key not in fns:
-            ccfg = dataclasses.replace(lcfg, leap_max_energy=Eb)
-            fns[key] = jax.jit(functools.partial(
-                lambda a, b, c, d, _cfg, _t: leap_align_pallas(
-                    a, b, c, d, _cfg, pre_staged="planes_tiled",
-                    want_cigar=True, tile=_t)["penalty"],
-                _cfg=ccfg, _t=t_c))
-        calls.append((fns[key], by_tile[t_c][base // csize]))
-    # XLA residue: raw codes, sub-chunked to bound the history tables
-    xn = sum(hi - lo for lo, hi in xla_spans)
-    xfn = jax.jit(functools.partial(
-        lambda a, b, c, d, _cfg: leap_align(
-            a, b, c, d, _cfg, want_history=True)["penalty"],
-        _cfg=lcfg))
-    xcalls = []
-    for lo, hi in xla_spans:
-        for s in range(lo, hi, 1 << 16):
-            e_ = min(s + (1 << 16), hi)
-            idx = order[s:e_]
-            xcalls.append((xfn, (jnp.asarray(rc[idx]),
-                                 jnp.asarray(rl[idx]),
-                                 jnp.asarray(fc[idx]),
-                                 jnp.asarray(fl[idx]))))
-    print(f"cigar plan: {len(calls)} fused chunks "
-          f"(bounds/tiles {sorted(set((e, t) for _, e, t in plans))}), "
-          f"{xn} pairs via the XLA history path", file=sys.stderr)
-    for fn, args in {id(f): (f, a) for f, a in calls + xcalls}.values():
-        force_completion(fn(*args))  # compile every program untimed
-    best = None
-    for _ in range(reps):
+    if "leap" in kernels:
         t0 = time.perf_counter()
-        outs = [fn(*args) for fn, args in calls + xcalls]
-        force_completion(outs[-1])  # in-order queue: last is the barrier
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    cps = pairs / best
-    rows.append(dict(
-        kernel="leap_cigar", L=L, pairs=pairs,
-        aligns_per_sec=round(cps), ns_per_pair=round(1e9 / cps, 2),
-        energy_max=emax, fused_chunks=len(calls), xla_pairs=int(xn),
-        wide_cells=L > 253))
-    print(json.dumps(rows[-1]))
+        lchunks = _stage_chunks(rc, rl, fc, fl, tile, chunk, perm=order)
+        print(f"leap energy probe: max {emax} mean {emean:.1f}; "
+              f"restage {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        lfn = jax.jit(lambda a, b, c, d: lpart(a, b, c, d)["penalty"])
+        force_completion(lfn(*lchunks[0]))
+        dt, slope = _slope_rate(lfn, lchunks, reps, chunk)
+        lps = pairs / dt
+        cnt = _counts(lpart, lchunks[0], [emean / 2])  # 2 levels/iteration
+        t_bound = (sum(cnt.values()) / tile) / VPU_VREG_OPS
+        rows.append(dict(
+            kernel="leap_penalty", L=L, pairs=pairs,
+            aligns_per_sec=round(lps),
+            slope_aligns_per_sec=round(slope) if slope else None,
+            ns_per_pair=round(1e9 / lps, 2),
+            slope_ns_per_pair=round(1e9 / slope, 2) if slope else None,
+            issue_bound_ns=round(t_bound * 1e9, 2),
+            vs_bound=round((1e9 / (slope or lps)) / (t_bound * 1e9), 2),
+            energy_mean=round(emean, 1), energy_max=emax,
+            pass_rate=round(float((passed != 0).mean()), 4)))
+        print(json.dumps(rows[-1]))
+
+    if "cigar" in kernels:
+        # ---- fused LEAP-CIGAR (per-chunk measured energy bounds; round-5
+        # 16-bit "wide" cell packing lifts the old max_len<=224 cap).
+        # The corpus is ENERGY-SORTED, so per-chunk maxima are monotone:
+        # most chunks ride the fused kernel at their own (bucketized) energy
+        # bound + VMEM-sized tile; a chunk whose bound exceeds VMEM even at
+        # the Mosaic-minimum 1024 tile (the deep-energy tail) falls back to
+        # the XLA history kernel — same CIGAR records, device-side, just
+        # without the fused backtrack. CIGAR decode is host-side for both
+        # paths and excluded, as in the L=128 headline.
+        import dataclasses
+
+        from asm_tpu.kernels.leap import leap_align
+
+        csize = max(tile, min(chunk, pairs // 16))
+        energy_sorted = energy[order]
+        plans, split_specs, xla_spans, E_fit, t_fit = plan_cigar_chunks(
+            energy_sorted, lcfg, tile, csize)
+        by_tile = {}
+        for t_c in {t for _, _, t in plans}:
+            by_tile[t_c] = _stage_chunks(rc, rl, fc, fl, t_c, csize,
+                                         perm=order)
+        fns = {}
+        calls = []
+        for (base, Eb, t_c) in plans:
+            key = (Eb, t_c)
+            if key not in fns:
+                ccfg = dataclasses.replace(lcfg, leap_max_energy=Eb)
+                fns[key] = jax.jit(functools.partial(
+                    lambda a, b, c, d, _cfg, _t: leap_align_pallas(
+                        a, b, c, d, _cfg, pre_staged="planes_tiled",
+                        want_cigar=True, tile=_t)["penalty"],
+                    _cfg=ccfg, _t=t_c))
+            calls.append((fns[key], by_tile[t_c][base // csize]))
+        # fused prefixes of split chunks: gather the prefix rows (the perm
+        # path needs a full-corpus permutation) and stage at the fit tile
+        from asm_tpu.kernels.greedy_pallas import stage_planes_tiled_t
+        for base, plen in split_specs:
+            key = (E_fit, t_fit)
+            if key not in fns:
+                ccfg = dataclasses.replace(lcfg, leap_max_energy=E_fit)
+                fns[key] = jax.jit(functools.partial(
+                    lambda a, b, c, d, _cfg, _t: leap_align_pallas(
+                        a, b, c, d, _cfg, pre_staged="planes_tiled",
+                        want_cigar=True, tile=_t)["penalty"],
+                    _cfg=ccfg, _t=t_fit))
+            idx = order[base: base + plen]
+            args = (jax.device_put(stage_planes_tiled_t(rc[idx], tile=t_fit)),
+                    jax.device_put(rl[idx]),
+                    jax.device_put(stage_planes_tiled_t(fc[idx], tile=t_fit)),
+                    jax.device_put(fl[idx]))
+            for a in args:
+                force_completion(a)
+            calls.append((fns[key], args))
+        # XLA residue: raw codes, sub-chunked to bound the history tables
+        xn = sum(hi - lo for lo, hi in xla_spans)
+        xfn = jax.jit(functools.partial(
+            lambda a, b, c, d, _cfg: leap_align(
+                a, b, c, d, _cfg, want_history=True)["penalty"],
+            _cfg=lcfg))
+        xcalls = []
+        for lo, hi in xla_spans:
+            for s in range(lo, hi, 1 << 16):
+                e_ = min(s + (1 << 16), hi)
+                idx = order[s:e_]
+                xcalls.append((xfn, (jnp.asarray(rc[idx]),
+                                     jnp.asarray(rl[idx]),
+                                     jnp.asarray(fc[idx]),
+                                     jnp.asarray(fl[idx]))))
+        print(f"cigar plan: {len(calls)} fused chunks "
+              f"(bounds/tiles {sorted(set((e, t) for _, e, t in plans))}, "
+              f"{len(split_specs)} split prefixes at ({E_fit}, {t_fit})), "
+              f"{xn} pairs via the XLA history path", file=sys.stderr)
+        for fn, args in {id(f): (f, a) for f, a in calls + xcalls}.values():
+            force_completion(fn(*args))  # compile every program untimed
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = [fn(*args) for fn, args in calls + xcalls]
+            force_completion(outs[-1])  # in-order queue: last is the barrier
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        cps = pairs / best
+        rows.append(dict(
+            kernel="leap_cigar", L=L, pairs=pairs,
+            aligns_per_sec=round(cps), ns_per_pair=round(1e9 / cps, 2),
+            energy_max=emax, fused_chunks=len(calls), xla_pairs=int(xn),
+            wide_cells=L > 253))
+        print(json.dumps(rows[-1]))
     return rows
 
 
