@@ -18,14 +18,19 @@ from the measured max. CIGAR production at long L is FULLY FUSED too:
 round 5 added 16-bit "wide" backtrack cells, so the fused LEAP-CIGAR
 kernel runs at any max_len; the energy-sorted corpus takes per-chunk
 measured energy bounds, and a chunk whose bound exceeds VMEM at the
-Mosaic-minimum 1024 tile (the deep-energy tail) rides the XLA history
-kernel inside the same timed wall.
+Mosaic-minimum 1024 tile is SPLIT at the deepest fitting bound
+(plan_cigar_chunks): its energy-sorted prefix stays fused; only the
+energy>E_fit residue rides the XLA history kernel inside the same
+timed wall (0.02% of pairs at L=512 — the split took that row
+30.3 -> 45.9M aligns/s).
 
 Corpora are sized to constant total bases (pairs x L ~= 2.1 G):
 L=256 -> 8M pairs, L=512 -> 4M pairs, err=0.05.
 
 Env: LS_TILE (grid tile, default 2048), LS_PAIRS_BASE (default 2^23 at
-L=256, halved per doubling), LS_ERR (default 0.05), LS_REPS (default 3).
+L=256, halved per doubling), LS_ERR (default 0.05), LS_REPS (default 3),
+LS_KERNELS (comma subset of greedy,leap,cigar — default all),
+LS_GREEDY_CHUNKS (steps-bound granularity, default 16 chunks).
 Usage (on the TPU): python tools/longseq_headline.py [256 512]
 """
 
